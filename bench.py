@@ -1,0 +1,105 @@
+"""Benchmark harness: train-throughput rays/sec/chip on the lego workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload matches the reference's lego training configuration per step:
+N_COARSE=64 + N_FINE=128 hierarchical samples per ray, full forward+backward+
+Adam (reference ``conf/lego.ini``, ``nerf.py:445-475``), on a synthetic
+800x800 scene resident in HBM. Rays/step defaults to 4096 (the reference's
+400-ray batches cannot saturate any accelerator; rays/sec is the
+batch-size-independent throughput metric — pass --batch 400 for the literal
+reference batch).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The comparison
+point is an estimated 8,000 rays/sec for the PyTorch reference on a modern
+single GPU: its loop is bounded by 3 mandatory host<->device syncs per
+400-ray iteration (SURVEY.md §3.2) at an optimistic ~20 it/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 8_000.0  # estimated PyTorch-GPU baseline (see above)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--coarse", type=int, default=64)
+    parser.add_argument("--fine", type=int, default=128)
+    parser.add_argument("--unroll", type=int, default=20)
+    parser.add_argument("--rounds", type=int, default=5)
+    parser.add_argument("--hw", type=int, default=800)
+    parser.add_argument("--precision", type=str, default="bf16",
+                        choices=["fp32", "bf16"])
+    args = parser.parse_args()
+
+    import jax
+
+    from tinynerf import train as trainlib
+    from tinynerf.config import Config
+    from tinynerf.core.rays import make_k_inv
+    from tinynerf.data.poses import SceneData
+    from tinynerf.data.rays import RayTable
+
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={jax.devices()}", file=sys.stderr)
+
+    cfg = Config(batch_ray=args.batch, n_coarse=args.coarse,
+                 n_fine=args.fine, precision=args.precision)
+
+    # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
+    rng = np.random.default_rng(0)
+    n_pics, hw = 16, args.hw
+    images = rng.uniform(0, 1, (n_pics, hw, hw, 3)).astype(np.float32)
+    pose_rows = np.zeros((n_pics, 17), np.float32)
+    focal = 0.5 * hw / np.tan(0.4)
+    for i in range(n_pics):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0, 0, 4.0]
+        hwf = np.array([[hw], [hw], [focal]], np.float32)
+        pose_rows[i] = np.concatenate(
+            [np.concatenate([c2w[:3, :4], hwf], axis=1).flatten(), [2.0, 6.0]])
+    scene = SceneData(images=images, poses_bounds=pose_rows,
+                      height=hw, width=hw, focal=focal)
+    table = RayTable(scene)
+    k_inv = make_k_inv(hw, hw, focal)
+
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    multi = trainlib.make_multi_step(step, args.unroll)
+    state = trainlib.init_state(cfg)
+
+    # warmup / compile
+    state, losses = multi(state)
+    jax.block_until_ready(losses)
+
+    times = []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        state, losses = multi(state)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    rays_per_sec = args.batch * args.unroll / best
+    result = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+    }
+    print(f"times={['%.4f' % t for t in times]} "
+          f"loss_last={float(np.asarray(losses)[-1]):.4f} "
+          f"samples/ray={args.coarse}+{args.fine} batch={args.batch} "
+          f"precision={args.precision}", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""tinynerf CLI — same surface as the reference: ``python main.py --conf=lego``.
+
+Reads ``conf/<name>.ini`` (section name = scene name, reference
+``main.py:10-34``), then trains and renders the test-split video — the
+intended reference flow ``trainer("train"); display()`` (the shipped
+reference crashes on both calls, SURVEY.md Q1; fixed here per decision D1).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="tinynerf (TPU) argument parser.")
+    parser.add_argument("--conf", type=str, default="lego",
+                        help="scene name under ./conf/ or a path to an .ini")
+    parser.add_argument("--mode", type=str, default="all",
+                        choices=["all", "train", "display"])
+    parser.add_argument("--iters", type=int, default=None,
+                        help="override TOTAL_ITER")
+    args = parser.parse_args()
+
+    from tinynerf.config import load_config
+    from tinynerf.runner import Runner
+
+    cfg = load_config(args.conf)
+    if args.iters is not None:
+        cfg.total_iter = args.iters
+
+    runner = Runner(cfg)
+    if args.mode in ("all", "train"):
+        runner.train("train")
+    if args.mode in ("all", "display"):
+        runner.display()
+
+
+if __name__ == "__main__":
+    main()

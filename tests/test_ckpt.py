@@ -1,0 +1,57 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tinynerf import ckpt, optim
+from tinynerf.core import mlp
+
+
+def test_save_load_roundtrip(tmp_path):
+    params = mlp.init_network(jax.random.PRNGKey(0))
+    opt = optim.adam_init(params)
+    opt = optim.AdamState(count=jnp.asarray(7, jnp.int32), mu=opt.mu, nu=opt.nu)
+    path = ckpt.save_checkpoint(str(tmp_path), "01-01-00-00-00", 42, params, opt)
+    iteration, p2, o2 = ckpt.load_checkpoint(path)
+    assert iteration == 42
+    assert int(o2.count) == 7
+    for name in params:
+        np.testing.assert_array_equal(np.asarray(params[name]["w"]),
+                                      np.asarray(p2[name]["w"]))
+        np.testing.assert_array_equal(np.asarray(params[name]["b"]),
+                                      np.asarray(p2[name]["b"]))
+
+
+def test_find_latest(tmp_path):
+    params = {"a": {"w": jnp.zeros(2), "b": jnp.zeros(1)}}
+    ckpt.save_checkpoint(str(tmp_path), "t", 10, params)
+    ckpt.save_checkpoint(str(tmp_path), "t", 300, params)
+    ckpt.save_checkpoint(str(tmp_path), "t", 25, params)
+    latest = ckpt.find_latest(str(tmp_path))
+    assert latest.endswith("_300.npz")
+    assert ckpt.find_latest(str(tmp_path / "empty" )) is None
+
+
+def test_import_torch_state_dict_shapes_and_forward():
+    torch = __import__("torch")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    try:
+        from nerf import Network
+    finally:
+        sys.path.pop(0)
+
+    net = Network()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params = ckpt.import_torch_state_dict(sd)
+    assert mlp.num_params(params) == 593_924
+
+    rng = np.random.default_rng(0)
+    pe = rng.normal(size=(2, 5, 60)).astype(np.float32)
+    de = rng.normal(size=(2, 5, 24)).astype(np.float32)
+    color_j, sigma_j = mlp.apply_network(params, jnp.asarray(pe), jnp.asarray(de))
+    with torch.no_grad():
+        color_t, sigma_t = net(5, torch.tensor(pe), torch.tensor(de))
+    np.testing.assert_allclose(np.asarray(color_j), color_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sigma_j), sigma_t.numpy(),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,61 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tinynerf import eval as evallib, train as trainlib
+from tinynerf.config import Config
+from tinynerf.core.rays import make_k_inv
+from tinynerf.data.poses import load_scene
+from tinynerf.data.rays import RayTable
+
+
+def _cfg(**kw):
+    base = dict(batch_ray=32, n_coarse=8, n_fine=8, use_pallas=False,
+                render_chunk=64)
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    scene_dir = request.getfixturevalue("sync_scene_dir")
+    table = RayTable(load_scene(scene_dir, "sync", "test"))
+    k_inv = make_k_inv(table.height, table.width, table.focal)
+    return table, k_inv
+
+
+def test_psnr():
+    a = np.zeros((4, 4, 3)); b = np.zeros((4, 4, 3))
+    assert evallib.psnr(a, b) == float("inf")
+    b += 0.1
+    np.testing.assert_allclose(evallib.psnr(a, b), 20.0, rtol=1e-6)
+
+
+def test_render_image_shape_and_chunks(setup):
+    table, k_inv = setup
+    cfg = _cfg()
+    state = trainlib.init_state(cfg)
+    fn = evallib.make_render_fn(cfg, k_inv)
+    img = evallib.render_image(fn, state.params, np.asarray(table.poses)[0],
+                               table.height, table.width, chunk=50)
+    assert img.shape == (table.height, table.width, 3)
+    assert np.all(np.isfinite(img))
+    # chunking must not change the result
+    img2 = evallib.render_image(fn, state.params, np.asarray(table.poses)[0],
+                                table.height, table.width, chunk=144)
+    np.testing.assert_allclose(img, img2, atol=1e-3)
+
+
+def test_render_test_set_artifacts(setup, tmp_path):
+    table, k_inv = setup
+    cfg = _cfg(results_path=str(tmp_path))
+    state = trainlib.init_state(cfg)
+    frames = evallib.render_test_set(cfg, state.params, table, k_inv,
+                                     "teststamp", 99, save=True, max_views=2)
+    assert frames.shape == (2, table.height, table.width, 3)
+    import os
+    assert os.path.isfile(tmp_path / "teststamp" / "0.jpg")
+    assert os.path.isfile(tmp_path / "teststamp" / "1.jpg")
+    assert (os.path.isfile(tmp_path / "teststamp_99.mp4")
+            or os.path.isfile(tmp_path / "teststamp_99.gif"))

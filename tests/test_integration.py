@@ -1,0 +1,72 @@
+"""End-to-end: Runner trains on a generated scene, PSNR improves, resume works
+(SURVEY.md §4 integration strategy)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tinynerf import ckpt
+from tinynerf.config import Config
+from tinynerf.runner import Runner
+
+
+@pytest.fixture()
+def cfg(sync_scene_dir, tmp_path):
+    return Config(
+        img_dir=sync_scene_dir, results_path=str(tmp_path / "results"),
+        ckpt_path=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "runs"),
+        total_iter=60, step=30, batch_ray=64, n_coarse=8, n_fine=8,
+        learning=5e-3, decay_end=10_000, use_pallas=False, render_chunk=72)
+
+
+def test_runner_end_to_end(cfg):
+    runner = Runner(cfg)
+    frames0 = __import__("tinynerf.eval", fromlist=["x"]).render_test_set(
+        cfg, runner.state.params, runner.test_table, runner.k_inv,
+        "pre", 0, save=False, max_views=1)
+    psnr_before = __import__("tinynerf.eval", fromlist=["x"]).test_psnr(
+        frames0, runner.test_table)
+
+    runner.train("train")
+    assert int(runner.state.iteration) == cfg.total_iter
+
+    # checkpoints + preview written at cadence
+    assert ckpt.find_latest(cfg.ckpt_path) is not None
+    jpgs = [f for f in os.listdir(cfg.results_path) if f.endswith(".jpg")]
+    assert jpgs
+
+    score = runner.display(max_views=1)
+    assert np.isfinite(score)
+    assert score > psnr_before - 0.5  # training at least did not hurt
+
+    # metrics were logged
+    log_dirs = os.listdir(cfg.log_dir)
+    assert log_dirs
+    jsonl = os.path.join(cfg.log_dir, log_dirs[0], "metrics.jsonl")
+    assert os.path.getsize(jsonl) > 0
+
+
+def test_runner_resume(cfg):
+    runner = Runner(cfg)
+    runner.train("train")
+    params_end = runner.state.params
+
+    cfg.continue_ = True
+    cfg.total_iter = 70
+    resumed = Runner(cfg)
+    # resumed from the iter-59 checkpoint
+    assert int(resumed.state.iteration) == 60
+    np.testing.assert_allclose(
+        np.asarray(resumed.state.params["trunk_0"]["w"]),
+        np.asarray(params_end["trunk_0"]["w"]), atol=1e-6)
+    assert int(resumed.state.opt.count) > 0  # Adam state restored
+    resumed.train("train")
+    assert int(resumed.state.iteration) == 70
+
+
+def test_runner_val_mode(cfg):
+    runner = Runner(cfg)
+    start = int(runner.state.iteration)
+    runner.train("val")
+    assert int(runner.state.iteration) == start + cfg.step

@@ -1,0 +1,141 @@
+"""Conf-driven configuration, INI-compatible with the reference CLI.
+
+Reference surface: ``main.py --conf=<scene>`` reads ``conf/<scene>.ini`` whose
+section name equals the scene name and whose keys are GPU, IMG_DIR,
+RESULTS_PATH, CKPT_PATH, LOW_RES, TOTAL_ITER, BATCH_RAY, LEARNING, LR_GAMMA,
+LR_MILESTONE, N_COARSE, N_FINE, DATA_TYPE, STEP, DECAY_END, SCHED, CONTINUE
+(reference ``main.py:18-34``).
+
+Deviations from the reference (SURVEY.md quirks Q1/Q2, decision D1):
+- every key has a default, so the shipped-style INIs that omit TOTAL_ITER /
+  RESULTS_PATH / CONTINUE load instead of raising ``NoOptionError``;
+- ``EPOCH`` (present in the shipped INIs, reference ``conf/lego.ini:6``) is
+  accepted as an alias for TOTAL_ITER;
+- LR_MILESTONE is parsed as a list of ints (reference ``main.py:27`` parses it
+  into a list of *characters*);
+- CONTINUE is parsed as a boolean (reference ``main.py:34`` uses ``eval``).
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+from typing import List, Optional
+
+CONF_DIR = "./conf/"
+
+
+@dataclasses.dataclass
+class Config:
+    """Typed run configuration. Field names follow the reference INI keys."""
+
+    # --- reference keys (main.py:18-34) ---
+    gpu: int = 0                      # kept for INI compat; unused on TPU
+    img_dir: str = "./data/lego/"
+    results_path: str = "./results/"
+    ckpt_path: str = "./checkpoint/"
+    low_res: int = 1                  # image downsample factor (Q9: implemented)
+    total_iter: int = 100_000
+    batch_ray: int = 400
+    learning: float = 3e-4
+    lr_gamma: float = 0.1
+    lr_milestone: List[int] = dataclasses.field(default_factory=lambda: [10, 200])
+    n_coarse: int = 64
+    n_fine: int = 128
+    data_type: str = "sync"           # "sync" (Blender) | "llff"
+    step: int = 100                   # checkpoint / preview cadence
+    decay_end: int = 10_000
+    sched: str = "EXP"                # "EXP" | "MULTISTEP"
+    continue_: bool = False
+
+    # --- new TPU-framework keys (all optional in the INI) ---
+    seed: int = 624                   # reference seeds everything with 624 (nerf.py:50)
+    precision: str = "fp32"           # "fp32" | "bf16" compute precision
+    use_pallas: bool = True           # fused Pallas kernels on TPU (auto-off on CPU)
+    compat_sort: bool = False         # reproduce reference's per-channel sort (Q4)
+    stratified: bool = False          # jittered coarse samples (off = reference Q7)
+    ndc: bool = False                 # NDC warp for llff (opt-in, north-star config)
+    mesh_shape: Optional[int] = None  # data-parallel devices; None = all local
+    log_dir: str = "./runs/"
+    render_chunk: int = 4096          # rays per eval-render microbatch
+
+    @property
+    def total_samples(self) -> int:
+        return self.n_coarse + self.n_fine
+
+
+_INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
+             "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK"}
+_FLOAT_KEYS = {"LEARNING", "LR_GAMMA"}
+_BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC"}
+_KEY_TO_FIELD = {
+    "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
+    "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
+    "EPOCH": "total_iter",  # alias: shipped INIs use EPOCH (conf/lego.ini:6)
+    "BATCH_RAY": "batch_ray", "LEARNING": "learning", "LR_GAMMA": "lr_gamma",
+    "LR_MILESTONE": "lr_milestone", "N_COARSE": "n_coarse", "N_FINE": "n_fine",
+    "DATA_TYPE": "data_type", "STEP": "step", "DECAY_END": "decay_end",
+    "SCHED": "sched", "CONTINUE": "continue_",
+    "SEED": "seed", "PRECISION": "precision", "USE_PALLAS": "use_pallas",
+    "COMPAT_SORT": "compat_sort", "STRATIFIED": "stratified", "NDC": "ndc",
+    "MESH_SHAPE": "mesh_shape", "LOG_DIR": "log_dir",
+    "RENDER_CHUNK": "render_chunk",
+}
+
+
+def _parse_milestones(raw: str) -> List[int]:
+    raw = raw.strip().strip("[]")
+    if not raw:
+        return []
+    return [int(tok) for tok in raw.replace(",", " ").split()]
+
+
+def load_config(name_or_path: str, conf_dir: str = CONF_DIR) -> Config:
+    """Load ``conf/<name>.ini`` (or an explicit path) into a :class:`Config`.
+
+    The section consulted is the scene name (matching reference
+    ``main.py:16-18``); if absent, the file's single section is used.
+    Unknown keys are ignored; missing keys keep dataclass defaults.
+    """
+    if os.path.isfile(name_or_path):
+        path = name_or_path
+        name = os.path.splitext(os.path.basename(path))[0]
+    else:
+        name = name_or_path
+        path = os.path.join(conf_dir, name + ".ini")
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"no config file at {path}")
+
+    parser = configparser.ConfigParser()
+    parser.read(path)
+    if parser.has_section(name):
+        section = parser[name]
+    elif parser.sections():
+        section = parser[parser.sections()[0]]
+    else:
+        raise ValueError(f"{path} contains no sections")
+
+    cfg = Config()
+    # EPOCH is only a fallback for TOTAL_ITER, never an override.
+    items = {k.upper(): v for k, v in section.items()}
+    if "TOTAL_ITER" in items:
+        items.pop("EPOCH", None)
+    for key, raw in items.items():
+        field = _KEY_TO_FIELD.get(key)
+        if field is None:
+            continue
+        if key == "LR_MILESTONE":
+            value = _parse_milestones(raw)
+        elif key == "MESH_SHAPE":
+            value = None if raw.strip().lower() in ("", "none", "auto") else int(raw)
+        elif key in _INT_KEYS:
+            value = int(raw)
+        elif key in _FLOAT_KEYS:
+            value = float(raw)
+        elif key in _BOOL_KEYS:
+            value = raw.strip().lower() in ("1", "true", "yes", "on")
+        else:
+            value = raw
+        setattr(cfg, field, value)
+    return cfg

@@ -1,0 +1,130 @@
+"""Volume rendering: coarse + hierarchical fine march, compositing, loss.
+
+Reference algorithm: ``nerf.py:263-348`` (SURVEY.md §2.7). Semantics kept:
+
+- Q5: **inclusive** cumsum in the transmittance exponent:
+  ``w_i = exp(-sum_{j<=i} sigma_j delta_j) * (1 - exp(-sigma_i delta_i))``
+  (``nerf.py:267-268``; standard NeRF uses the exclusive sum — the reference's
+  variant differs by a factor ``exp(-sigma_i delta_i)`` and is reproduced as
+  the default).
+- coarse deltas are the constant per-ray ``(far - near) / N_c``
+  (``nerf.py:293``); the combined pass uses ``diff(t)`` with a constant
+  ``1e-4`` tail (``nerf.py:286,315``).
+- loss is a **sum** (not mean) of squared errors over batch and RGB for both
+  passes (``nerf.py:325-331``, Q14).
+- Q4 fixed (decision D3): the combined coarse+fine pass sorts **by t** and
+  gathers rgb/sigma with the same permutation. The reference's
+  ``torch.sort`` of the (t, rgb, sigma) bundle sorts every channel
+  independently, decoupling them (``nerf.py:308``); ``compat_sort=True``
+  reproduces that defect bit-for-bit for parity experiments.
+
+The network evaluation is pluggable via ``field_fn(params, points, dirs) ->
+(color, sigma)`` so the fused Pallas kernel (``tinynerf/kernels``) and the
+pure-jnp path are interchangeable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tinynerf.core import encoding, mlp, rays as raylib, sampling
+
+TAIL_DELTA = 1e-4  # reference `last` (nerf.py:286)
+
+FieldFn = Callable[[mlp.Params, jnp.ndarray, jnp.ndarray],
+                   Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def field_jnp(params: mlp.Params, points: jnp.ndarray, dirs: jnp.ndarray,
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-exact pure-jnp field: positional-encode then MLP.
+
+    points, dirs: (..., 3) -> (color (..., 3), sigma (..., 1)).
+    """
+    point_enc = encoding.encode_points(points)
+    dir_enc = encoding.encode_dirs(dirs)
+    return mlp.apply_network(params, point_enc, dir_enc)
+
+
+def get_density(delta: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Compositing weights with the reference's inclusive-cumsum transmittance
+    (``nerf.py:263-272``). delta, sigma: (B, N) -> weights (B, N)."""
+    sigma_delta = delta * sigma
+    transmittance = jnp.exp(-jnp.cumsum(sigma_delta, axis=1))
+    return transmittance * (1.0 - jnp.exp(-sigma_delta))
+
+
+def composite(weights: jnp.ndarray, color: jnp.ndarray) -> jnp.ndarray:
+    """Sum_i w_i * rgb_i (``nerf.py:274-281``). (B,N),(B,N,3) -> (B,3)."""
+    return jnp.sum(weights[..., None] * color, axis=1)
+
+
+def _eval_field(field_fn: FieldFn, params: mlp.Params, origins: jnp.ndarray,
+                dirs: jnp.ndarray, ts: jnp.ndarray,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate the field at ``origin + t * dir`` for each (ray, sample)."""
+    points = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
+    dirs_b = jnp.broadcast_to(dirs[:, None, :], points.shape)
+    color, sigma = field_fn(params, points, dirs_b)
+    return color, jnp.squeeze(sigma, axis=-1)
+
+
+def render_rays(params: mlp.Params,
+                rows: jnp.ndarray, cols: jnp.ndarray, pose17: jnp.ndarray,
+                k_inv: jnp.ndarray,
+                n_coarse: int, n_fine: int,
+                field_fn: FieldFn = field_jnp,
+                key: Optional[jax.Array] = None,
+                compat_sort: bool = False,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
+
+    Entirely on device inside one traced graph — no host sync anywhere
+    (the reference crosses the device boundary 3x per iteration, SURVEY §3.2).
+    """
+    origins, dirs, near, far = raylib.pixels_to_rays(rows, cols, pose17, k_inv)
+
+    # ---- coarse pass (nerf.py:288-295) ----
+    t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
+    color_co, sigma_co = _eval_field(field_fn, params, origins, dirs, t_co)
+    delta_ray = (far - near) / n_coarse  # (B,)
+    delta_co = jnp.broadcast_to(delta_ray[:, None], t_co.shape)
+    dense_co = get_density(delta_co, sigma_co)
+    c_coarse = composite(dense_co, color_co)
+
+    if n_fine == 0:
+        return c_coarse, c_coarse
+
+    # ---- hierarchical fine pass (nerf.py:298-321) ----
+    t_fi = sampling.resample(t_co, dense_co, delta_ray, n_fine)
+    color_fi, sigma_fi = _eval_field(field_fn, params, origins, dirs, t_fi)
+
+    color_all = jnp.concatenate([color_co, color_fi], axis=1)
+    sigma_all = jnp.concatenate([sigma_co, sigma_fi], axis=1)
+    if compat_sort:
+        # reference defect Q4: each channel sorted independently (nerf.py:308)
+        t_all = jnp.sort(jnp.concatenate([t_co, t_fi], axis=1), axis=1)
+        color_s = jnp.sort(color_all, axis=1)
+        sigma_s = jnp.sort(sigma_all, axis=1)
+    else:
+        t_all, order = sampling.merge_sorted_ts(t_co, t_fi)
+        t_all = jnp.take_along_axis(t_all, order, axis=1)
+        color_s = jnp.take_along_axis(color_all, order[..., None], axis=1)
+        sigma_s = jnp.take_along_axis(sigma_all, order, axis=1)
+
+    delta_all = jnp.concatenate(
+        [t_all[:, 1:] - t_all[:, :-1],
+         jnp.full_like(t_all[:, :1], TAIL_DELTA)], axis=1)
+    dense_all = get_density(delta_all, sigma_s)
+    c_fine = composite(dense_all, color_s)
+    return c_coarse, c_fine
+
+
+def ray_loss(c_coarse: jnp.ndarray, c_fine: jnp.ndarray, c_true: jnp.ndarray,
+             ) -> jnp.ndarray:
+    """Sum-of-squares over batch and RGB for both passes (``nerf.py:325-331``)."""
+    return (jnp.sum(jnp.square(c_coarse - c_true))
+            + jnp.sum(jnp.square(c_fine - c_true)))

@@ -1,0 +1,132 @@
+"""Training/eval orchestration — the reference ``NeRFRunner`` re-imagined.
+
+Owns the host-side loop only: dataset ingest, checkpoint resume, metric
+logging cadence, preview/checkpoint artifacts and the final video render.
+Everything per-iteration runs inside the jitted step from ``tinynerf.train``.
+
+Mirrors the reference flow (``nerf.py:353-530``): construct -> maybe resume
+latest checkpoint -> ``train("train")`` -> ``display()``, with the same
+conf keys and artifact naming.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinynerf import ckpt, eval as evallib, train as trainlib
+from tinynerf.config import Config
+from tinynerf.core.rays import make_k_inv
+from tinynerf.data.poses import load_scene
+from tinynerf.data.rays import RayTable
+from tinynerf.logging import MetricLogger, PreviewCanvas
+from tinynerf.parallel import mesh as meshlib
+
+
+class Runner:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.start_time = time.strftime("%m-%d-%H-%M-%S", time.localtime())
+
+        # --- data (host ingest -> HBM tables) ---
+        train_scene = load_scene(cfg.img_dir, cfg.data_type, "train", cfg.low_res)
+        self.train_table = RayTable(train_scene)
+        # llff splits are identical (Q10); avoid re-ingesting the same images
+        if cfg.data_type == "llff":
+            self.val_table = self.test_table = self.train_table
+        else:
+            self.val_table = RayTable(
+                load_scene(cfg.img_dir, cfg.data_type, "val", cfg.low_res))
+            self.test_table = RayTable(
+                load_scene(cfg.img_dir, cfg.data_type, "test", cfg.low_res))
+
+        self.k_inv = make_k_inv(self.train_table.height, self.train_table.width,
+                                self.train_table.focal)
+
+        # --- mesh / sharding (ray-DP; single-device when 1 chip) ---
+        self.mesh = meshlib.mesh_for_config(cfg)
+        self.batch_sharding = (meshlib.batch_sharding(self.mesh)
+                               if self.mesh is not None else None)
+
+        # --- state (fresh or resumed-latest, reference nerf.py:402-420) ---
+        self.last_iter = -1
+        params = opt_state = None
+        if cfg.continue_:
+            latest = ckpt.find_latest(cfg.ckpt_path)
+            if latest is not None:
+                self.last_iter, params, opt_state = ckpt.load_checkpoint(latest)
+                print(f"Resumed from {latest} (iter {self.last_iter})")
+        if self.last_iter < 0:
+            print("New run created.")
+        self.state = trainlib.init_state(
+            cfg, params=params, opt_state=opt_state,
+            iteration=self.last_iter + 1)
+        if self.mesh is not None:
+            self.state = meshlib.replicate_state(self.state, self.mesh)
+
+        self.logger = MetricLogger(os.path.join(cfg.log_dir, self.start_time))
+        self._step_fns = {}
+
+    def _step_fn(self, table: RayTable):
+        key = id(table)
+        if key not in self._step_fns:
+            self._step_fns[key] = trainlib.make_train_step(
+                self.cfg, table, self.k_inv,
+                batch_sharding=self.batch_sharding)
+        return self._step_fns[key]
+
+    def train(self, mode: str = "train") -> None:
+        """Run the training loop until ``total_iter`` (resuming mid-count).
+        ``mode="val"`` runs ``step`` iterations of forward/backward on the val
+        split for loss tracking (the reference's single-epoch val pass)."""
+        cfg = self.cfg
+        table = {"train": self.train_table, "val": self.val_table}[mode]
+        step_fn = self._step_fn(table)
+        canvas = PreviewCanvas(table.height, table.width)
+
+        start = int(self.state.iteration)
+        end = start + cfg.step if mode == "val" else cfg.total_iter
+        print(f"[STEP] {mode}: iterations {start} -> {end}")
+        t0 = time.perf_counter()
+        for it in range(start, end):
+            self.state, metrics = step_fn(self.state)
+            self.logger.log(it, {f"loss/{mode}": metrics["loss"],
+                                 f"lr/{mode}": metrics["lr"]})
+            if (it + 1) % cfg.step == 0:
+                loss = float(metrics["loss"])
+                c_t = np.asarray(metrics["c_true0"])
+                c_f = np.asarray(metrics["c_fine0"])
+                rate = cfg.step * cfg.batch_ray / (time.perf_counter() - t0)
+                print(f"[ITER] {it} [LOSS] {loss:.4f} "
+                      f"[T] ({c_t[0]:.4f} {c_t[1]:.4f} {c_t[2]:.4f}) "
+                      f"[F] ({c_f[0]:.4f} {c_f[1]:.4f} {c_f[2]:.4f}) "
+                      f"[RAYS/S] {rate:,.0f}")
+                self.logger.flush()
+                if mode == "train":
+                    canvas.update(metrics["rows"], metrics["cols"],
+                                  metrics["rgb"], metrics["pic"])
+                    os.makedirs(cfg.results_path, exist_ok=True)
+                    canvas.save(os.path.join(
+                        cfg.results_path, f"{self.start_time}_{it}.jpg"))
+                    ckpt.save_checkpoint(
+                        cfg.ckpt_path, self.start_time, it,
+                        jax.device_get(self.state.params),
+                        jax.device_get(self.state.opt))
+                    self.last_iter = it
+                t0 = time.perf_counter()
+        self.logger.flush()
+
+    def display(self, max_views: Optional[int] = None) -> float:
+        """Full-frame render of the test split -> JPGs + mp4; returns PSNR."""
+        print("Start generating video...")
+        frames = evallib.render_test_set(
+            self.cfg, self.state.params, self.test_table, self.k_inv,
+            self.start_time, self.last_iter, save=True, max_views=max_views)
+        score = evallib.test_psnr(frames, self.test_table)
+        print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views")
+        return score

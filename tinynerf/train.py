@@ -1,0 +1,125 @@
+"""The jitted train step: sample -> render -> loss -> grad -> Adam, on device.
+
+One compiled XLA program per step replaces the reference's eager loop
+(``nerf.py:445-499``), which crosses the host/device boundary 8+ times per
+iteration (SURVEY.md §3.2). Here batch sampling, ray generation, both MLP
+passes, the hierarchical resampler, compositing, backward and the optimizer
+all live in a single traced graph with static shapes; the host only ticks the
+loop and reads metrics at logging cadence.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tinynerf import optim
+from tinynerf.config import Config
+from tinynerf.core import mlp, render
+from tinynerf.data.rays import RayTable
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: optim.AdamState
+    iteration: jnp.ndarray  # int32 scalar — drives the LR schedule and resume
+    key: jax.Array
+
+
+def init_state(cfg: Config, key: Optional[jax.Array] = None,
+               params: Optional[Any] = None,
+               opt_state: Optional[optim.AdamState] = None,
+               iteration: int = 0) -> TrainState:
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    pkey, skey = jax.random.split(key)
+    if params is None:
+        params = mlp.init_network(pkey)
+    if opt_state is None:
+        opt_state = optim.adam_init(params)
+    return TrainState(params=params, opt=opt_state,
+                      iteration=jnp.asarray(iteration, jnp.int32), key=skey)
+
+
+def make_field_fn(cfg: Config) -> render.FieldFn:
+    """Pick the field evaluator: fused Pallas kernel on TPU, pure jnp
+    otherwise, with optional bf16 compute (fp32 params/geometry)."""
+    base = render.field_jnp
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        try:
+            from tinynerf.kernels.mlp_kernel import field_pallas
+            base = field_pallas
+        except ImportError:
+            pass
+    if cfg.precision == "bf16":
+        def bf16_field(params, points, dirs):
+            color, sigma = base(params, points.astype(jnp.bfloat16),
+                                dirs.astype(jnp.bfloat16))
+            return color.astype(jnp.float32), sigma.astype(jnp.float32)
+        return bf16_field
+    return base
+
+
+def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
+                 field_fn: Optional[render.FieldFn] = None) -> Callable:
+    """loss(params, batch, key) -> (loss, (C_coarse, C_fine)). Shared by the
+    single-chip and mesh-sharded steps."""
+    field_fn = field_fn or make_field_fn(cfg)
+
+    def loss_fn(params, batch, key):
+        c_co, c_fi = render.render_rays(
+            params, batch.rows, batch.cols, batch.pose17, k_inv,
+            cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
+            key=key if cfg.stratified else None,
+            compat_sort=cfg.compat_sort)
+        return render.ray_loss(c_co, c_fi, batch.rgb), (c_co, c_fi)
+
+    return loss_fn
+
+
+def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
+                    field_fn: Optional[render.FieldFn] = None,
+                    batch_sharding=None,
+                    ) -> Callable[[TrainState], Tuple[TrainState, dict]]:
+    """Build the jitted step. With ``batch_sharding`` (a NamedSharding over the
+    ray axis), the sampled batch is sharding-constrained so XLA partitions the
+    whole step data-parallel over the mesh and inserts the gradient psum
+    itself — collectives ride ICI, params stay replicated (SURVEY.md §2.17).
+    """
+    loss_fn = make_loss_fn(cfg, k_inv, field_fn)
+    lr_fn = optim.make_lr_fn(cfg)
+
+    def step(state: TrainState) -> Tuple[TrainState, dict]:
+        key, bkey, skey = jax.random.split(state.key, 3)
+        batch = table.sample(bkey, cfg.batch_ray)
+        if batch_sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
+                if x.ndim >= 1 else x, batch)
+        (loss, (c_co, c_fi)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, skey)
+        lr = lr_fn(state.iteration)
+        params, opt = optim.adam_update(grads, state.opt, state.params, lr)
+        metrics = {"loss": loss, "lr": lr,
+                   "c_true0": batch.rgb[0], "c_fine0": c_fi[0],
+                   # last-step batch, for the host-side preview canvas
+                   "rows": batch.rows, "cols": batch.cols,
+                   "rgb": batch.rgb, "pic": batch.pic}
+        return TrainState(params=params, opt=opt,
+                          iteration=state.iteration + 1, key=key), metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_multi_step(step_fn: Callable, unroll: int) -> Callable:
+    """Fuse ``unroll`` train steps into one compiled program with lax.scan —
+    amortizes per-dispatch overhead for benchmarking and headless training."""
+    def body(state, _):
+        state, metrics = step_fn(state)  # jitted fns inline when traced
+        return state, metrics["loss"]
+
+    def multi(state):
+        return jax.lax.scan(body, state, None, length=unroll)
+
+    return jax.jit(multi, donate_argnums=0)
