@@ -38,6 +38,8 @@ def main() -> None:
     parser.add_argument("--hw", type=int, default=800)
     parser.add_argument("--precision", type=str, default="bf16",
                         choices=["fp32", "bf16"])
+    parser.add_argument("--no-pallas", action="store_true",
+                        help="use the pure-jnp field instead of the fused kernel")
     args = parser.parse_args()
 
     import jax
@@ -52,7 +54,8 @@ def main() -> None:
     print(f"backend={backend} devices={jax.devices()}", file=sys.stderr)
 
     cfg = Config(batch_ray=args.batch, n_coarse=args.coarse,
-                 n_fine=args.fine, precision=args.precision)
+                 n_fine=args.fine, precision=args.precision,
+                 use_pallas=not args.no_pallas)
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)

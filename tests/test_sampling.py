@@ -100,6 +100,30 @@ def test_resample_output_sorted_and_differentiable():
 def test_merge_sorted_ts():
     t_co = jnp.array([[1.0, 3.0, 5.0]])
     t_fi = jnp.array([[2.0, 4.0]])
-    t_all, order = sampling.merge_sorted_ts(t_co, t_fi)
-    merged = np.asarray(jnp.take_along_axis(t_all, order, axis=1))
+    t_all, ranks = sampling.merge_sorted_ts(t_co, t_fi)
+    merged = np.asarray(sampling.apply_ranks(ranks, t_all))
     np.testing.assert_allclose(merged[0], [1, 2, 3, 4, 5])
+
+
+def test_sort_ranks_matches_stable_argsort():
+    rng = np.random.default_rng(0)
+    t = rng.uniform(0, 1, (8, 33)).astype(np.float32)
+    t[:, 5] = t[:, 20]  # inject ties — must break by original index
+    ranks = np.asarray(sampling.sort_ranks(jnp.asarray(t)))
+    x = rng.normal(size=(8, 33)).astype(np.float32)
+    sorted_x = np.asarray(sampling.apply_ranks(jnp.asarray(ranks),
+                                               jnp.asarray(x)))
+    order = np.argsort(t, axis=1, kind="stable")
+    np.testing.assert_allclose(sorted_x, np.take_along_axis(x, order, axis=1),
+                               atol=1e-6)
+
+
+def test_onehot_gather_and_matmul_cumsum():
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(4, 16)).astype(np.float32)
+    idx = rng.integers(0, 16, (4, 9)).astype(np.int32)
+    got = np.asarray(sampling.onehot_gather(jnp.asarray(v), jnp.asarray(idx)))
+    np.testing.assert_allclose(got, np.take_along_axis(v, idx, axis=1),
+                               atol=1e-6)
+    c = np.asarray(sampling.matmul_cumsum(jnp.asarray(v)))
+    np.testing.assert_allclose(c, np.cumsum(v, axis=1), rtol=1e-5, atol=1e-5)

@@ -53,7 +53,7 @@ def get_density(delta: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     """Compositing weights with the reference's inclusive-cumsum transmittance
     (``nerf.py:263-272``). delta, sigma: (B, N) -> weights (B, N)."""
     sigma_delta = delta * sigma
-    transmittance = jnp.exp(-jnp.cumsum(sigma_delta, axis=1))
+    transmittance = jnp.exp(-sampling.matmul_cumsum(sigma_delta))
     return transmittance * (1.0 - jnp.exp(-sigma_delta))
 
 
@@ -110,10 +110,10 @@ def render_rays(params: mlp.Params,
         color_s = jnp.sort(color_all, axis=1)
         sigma_s = jnp.sort(sigma_all, axis=1)
     else:
-        t_all, order = sampling.merge_sorted_ts(t_co, t_fi)
-        t_all = jnp.take_along_axis(t_all, order, axis=1)
-        color_s = jnp.take_along_axis(color_all, order[..., None], axis=1)
-        sigma_s = jnp.take_along_axis(sigma_all, order, axis=1)
+        t_cat, ranks = sampling.merge_sorted_ts(t_co, t_fi)
+        t_all = sampling.apply_ranks(ranks, t_cat)
+        color_s = sampling.apply_ranks(ranks, color_all)
+        sigma_s = sampling.apply_ranks(ranks, sigma_all)
 
     delta_all = jnp.concatenate(
         [t_all[:, 1:] - t_all[:, :-1],

@@ -22,12 +22,50 @@ Semantics kept from the reference (decision D2/D3 in SURVEY.md §2.16):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 EPSILON = 1e-7
+
+# TPU note on the op choices in this file (and core/render.py): gathers,
+# scatters (gather backward), sorts and sequential cumsums are the worst ops
+# to put on a TPU — they serialize on the VPU while the MXU idles. Every one
+# of them here is reformulated as compares + matmuls:
+#   gather        -> one-hot einsum (backward = transposed matmul)
+#   argsort+gather-> rank via compare-count, apply via one-hot permutation
+#   cumsum        -> multiply by a constant triangular ones matrix (MXU)
+
+
+def matmul_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the last axis as a triangular matmul.
+
+    ``y_k = sum_{i<=k} x_i  ==  x @ U`` with ``U[i, k] = [i <= k]``. One
+    (B, N) @ (N, N) MXU matmul replaces XLA's shift-chain cumsum; its
+    transpose (the VJP) is again a single matmul instead of a reversed chain.
+    """
+    n = x.shape[-1]
+    upper = jnp.triu(jnp.ones((n, n), dtype=x.dtype))
+    return jax.lax.dot_general(
+        x, upper, (((x.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def onehot_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(values, idx, axis=1)`` as a one-hot einsum.
+
+    values (B, N), idx (B, M) int -> (B, M). The one-hot mask is fused by XLA
+    into a batched matmul; the backward pass becomes the transposed matmul
+    instead of a scatter-add (scatters serialize on TPU).
+    """
+    n = values.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    onehot = (idx[:, :, None] == iota).astype(values.dtype)
+    return jax.lax.dot_general(
+        onehot, values,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def coarse_ts(near: jnp.ndarray, far: jnp.ndarray, n_coarse: int,
@@ -62,7 +100,7 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
     monotone and the CDF is nondecreasing, so the output is sorted by
     construction — which the combined-pass merge relies on).
     """
-    cdf = jnp.cumsum(dense_coarse, axis=1)  # (B, N_c), nondecreasing
+    cdf = matmul_cumsum(dense_coarse)  # (B, N_c), nondecreasing
     high = jnp.max(cdf, axis=1)  # (B,)
     low = jnp.min(cdf, axis=1)
 
@@ -87,23 +125,53 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
     slope_inv = jnp.concatenate(
         [slope_inv, jnp.zeros_like(slope_inv[:, :1])], axis=1)  # (B, N_c)
 
-    lower_t = jnp.take_along_axis(t_coarse, idx, axis=1)
-    lower_cdf = jnp.take_along_axis(cdf, idx, axis=1)  # grads flow (Q8)
-    lower_slope = jnp.take_along_axis(slope_inv, idx, axis=1)
+    lower_t = onehot_gather(t_coarse, idx)
+    lower_cdf = onehot_gather(cdf, idx)  # grads flow (Q8)
+    lower_slope = onehot_gather(slope_inv, idx)
     return lower_t + (t_inv - lower_cdf) * lower_slope
 
 
-def merge_sorted_ts(t_coarse: jnp.ndarray, t_fine: jnp.ndarray) -> jnp.ndarray:
-    """Merge two per-ray sorted t arrays -> indices into their concatenation.
+def sort_ranks(t_all: jnp.ndarray) -> jnp.ndarray:
+    """Stable-sort ranks without a sort: rank_k = #(t_j < t_k) + #(earlier
+    ties). A (B, N, N) compare-count on the VPU replaces XLA's bitonic sort;
+    ties break by original index, matching a stable argsort (and
+    ``torch.sort``). Gradients do not flow through ranks — the permutation is
+    piecewise constant, exactly like sort/argsort autodiff."""
+    n = t_all.shape[1]
+    t = jax.lax.stop_gradient(t_all)
+    ti = t[:, :, None]   # element k
+    tj = t[:, None, :]   # compared against j
+    less = (tj < ti)
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
+    idx_j = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
+    tie_before = (tj == ti) & (idx_j < idx_i)
+    return jnp.sum((less | tie_before).astype(jnp.int32), axis=2)
 
-    Both inputs are sorted by construction (coarse: linspace; fine: monotone
-    CDF levels through a nondecreasing inverse-CDF), so a full sort of the
-    concatenation is overkill; argsort of the concat still lowers to one XLA
-    sort, which is what we use — returned as gather indices so t, rgb and
-    sigma stay **coupled** (fixing reference bug Q4, where ``torch.sort`` on
-    the (t, rgb, sigma) bundle sorts each channel independently,
-    ``nerf.py:308``).
-    """
+
+def apply_ranks(ranks: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Permute ``x`` into sorted order given per-element ranks, as a one-hot
+    batched matmul (MXU; VJP = transposed matmul, no scatter).
+    ranks (B, N), x (B, N) or (B, N, C) -> sorted x."""
+    n = ranks.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    # onehot[b, r, k] = 1 iff element k lands at output position r
+    dtype = x.dtype
+    onehot = (ranks[:, None, :] == iota.transpose(0, 2, 1)).astype(dtype)
+    if x.ndim == 2:
+        return jax.lax.dot_general(
+            onehot, x, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.dot_general(
+        onehot, x, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def merge_sorted_ts(t_coarse: jnp.ndarray, t_fine: jnp.ndarray,
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two per-ray sorted t arrays -> (concatenated t, stable ranks).
+
+    The ranks couple t, rgb and sigma through the same permutation (fixing
+    reference bug Q4, where ``torch.sort`` on the (t, rgb, sigma) bundle
+    sorts every channel independently, ``nerf.py:308``)."""
     t_all = jnp.concatenate([t_coarse, t_fine], axis=1)
-    order = jnp.argsort(t_all, axis=1)
-    return t_all, order
+    return t_all, sort_ranks(t_all)

@@ -1,0 +1,493 @@
+"""Fused positional-encode -> skip-MLP -> heads Pallas TPU kernel.
+
+This is the hot loop of the whole framework: per train step the MLP runs over
+``batch * (N_c + N_f)`` sample rows (reference: 76,800 evals/step, SURVEY.md
+§2.11). Left to XLA, each of the ~13 linear layers round-trips its
+(rows, 256) activations through HBM; at production batch sizes that is
+gigabytes per step against a few dozen bytes of kernel I/O per row. This
+kernel keeps the whole network — all 594 K parameters fit comfortably in
+VMEM — and every intermediate activation on-chip: HBM traffic is 6 floats in
+(point, dir) and 4 out (rgb, sigma) per row, with one MXU matmul chain in
+between.
+
+The backward pass is a second Pallas kernel (flash-style): it re-computes the
+tile's activations in VMEM and accumulates all weight gradients across grid
+steps (TPU grids execute sequentially per core), emitting d(points)/d(dirs)
+so gradients keep flowing into the hierarchical resampler exactly like the
+pure-jnp path (reference behavior Q8).
+
+Internal encoding layout is block-major ``[sin(f·x..), sin(f·y..),
+sin(f·z..) | cos(...)]`` — cheaper to build on the VPU than the reference's
+interleaved channel-major layout — and the first-layer/skip weight rows are
+permuted to match, so results are bit-compatible with
+``tinynerf.core.render.field_jnp`` (reference layout, nerf.py:159).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinynerf.core.encoding import (DIR_ENC_DIM, L_DIR, L_POINT,
+                                    POINT_ENC_DIM, freq_bank)
+
+WIDTH = 256
+DEPTH = 8
+SKIP = 4
+
+# Set True (before first call) to run kernels in the Pallas interpreter —
+# used by the CPU test suite; on TPU leave False for compiled Mosaic.
+INTERPRET = False
+
+# ----------------------------------------------------------------------------
+# host-side constants: frequency selector matrices and layout permutations
+# ----------------------------------------------------------------------------
+
+
+def _freq_selector(L: int) -> np.ndarray:
+    """(3, 3L) matrix F with F[c, c*L + l] = freq_l, so ``x @ F`` yields the
+    per-channel scaled coordinates in one small matmul."""
+    freqs = freq_bank(L)
+    sel = np.zeros((3, 3 * L), np.float32)
+    for c in range(3):
+        sel[c, c * L:(c + 1) * L] = freqs
+    return sel
+
+
+def _layout_perm(L: int) -> np.ndarray:
+    """kernel row k -> reference row. Kernel: [sin block (3L) | cos block
+    (3L)] with channel-major freq runs; reference: channel blocks of
+    interleaved [sin f0, cos f0, sin f1, ...] (nerf.py:159)."""
+    perm = np.zeros(6 * L, np.int64)
+    for k in range(3 * L):
+        c, l = divmod(k, L)
+        perm[k] = c * 2 * L + 2 * l          # sin rows
+        perm[3 * L + k] = c * 2 * L + 2 * l + 1  # cos rows
+    return perm
+
+
+_POINT_SEL = _freq_selector(L_POINT)   # (3, 30)
+_DIR_SEL = _freq_selector(L_DIR)       # (3, 12)
+_POINT_PERM = _layout_perm(L_POINT)    # (60,)
+_DIR_PERM = _layout_perm(L_DIR)        # (24,)
+_POINT_INV = np.argsort(_POINT_PERM)
+_DIR_INV = np.argsort(_DIR_PERM)
+
+# flat ordering of the packed weight operands fed to the kernels
+_W_NAMES = (
+    "w0", "w1", "w2", "w3", "w4h", "w4e", "w5", "w6", "w7",
+    "wsig", "wpi", "wde", "wdp", "wcol",
+)
+_B_NAMES = ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7",
+            "bsig", "bpi", "bd", "bcol")
+
+
+def pack_params(params, compute_dtype=jnp.float32):
+    """Reference-layout param pytree -> kernel operand dict (traced, cheap).
+
+    - trunk_0 / the skip-extra rows of trunk_4 are row-permuted into the
+      kernel's block-major encoding layout;
+    - trunk_4 is split into its hidden (256) and encoding (60) halves, and
+      dir_info into its dir (24) and point_info (256) halves, so the kernel
+      never materializes concatenations;
+    - weights are cast to ``compute_dtype`` (bf16 for MXU fast path);
+      biases stay f32 and are added post-accumulation.
+    """
+    cast = lambda w: w.astype(compute_dtype)
+    p = params
+    out = {
+        "w0": cast(p["trunk_0"]["w"][_POINT_PERM]),
+        "w4h": cast(p["trunk_4"]["w"][:WIDTH]),
+        "w4e": cast(p["trunk_4"]["w"][WIDTH:][_POINT_PERM]),
+        "wsig": cast(p["sigma"]["w"]),
+        "wpi": cast(p["point_info"]["w"]),
+        "wde": cast(p["dir_info"]["w"][:DIR_ENC_DIM][_DIR_PERM]),
+        "wdp": cast(p["dir_info"]["w"][DIR_ENC_DIM:]),
+        "wcol": cast(p["color"]["w"]),
+        "b0": p["trunk_0"]["b"], "b4": p["trunk_4"]["b"],
+        "bsig": p["sigma"]["b"], "bpi": p["point_info"]["b"],
+        "bd": p["dir_info"]["b"], "bcol": p["color"]["b"],
+    }
+    for i in (1, 2, 3, 5, 6, 7):
+        out[f"w{i}"] = cast(p[f"trunk_{i}"]["w"])
+        out[f"b{i}"] = p[f"trunk_{i}"]["b"]
+    return out
+
+
+def _prec(dtype):
+    """MXU precision: for f32 operands request the full-precision (multi-pass)
+    f32 matmul — Mosaic's default multiplies at bf16 precision even for f32
+    inputs. For bf16 operands the default single-pass path is exact."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _scaled_coords(x, sel):
+    """(T, 3) coords -> (T, 3L) per-channel frequency-scaled values.
+
+    Computed ELEMENTWISE (repeat + multiply), not as ``x @ sel`` on the MXU:
+    the matmul rounds 1 ulp differently from a plain multiply, and at
+    arguments up to 2^L * pi * |x| (~6e3) one ulp in the argument moves
+    sin/cos by ~5e-4 — which backprop through 8 layers amplifies into
+    percent-level gradient error. The elementwise form is bit-identical to
+    ``field_jnp``'s ``x[..., None] * freqs``.
+    """
+    freq_row = jnp.sum(sel, axis=0, keepdims=True)      # (1, 3L), exact
+    ones_sel = (sel != 0.0).astype(jnp.float32)         # 0/1 broadcast matrix
+    # x @ ones_sel only moves values (x*1 + 0 + 0 — exact even on the MXU);
+    # the frequency multiply is then a single elementwise rounding, matching
+    # field_jnp bit-for-bit
+    x_rep = jnp.dot(x, ones_sel, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return x_rep * freq_row
+
+
+def _encode(x, sel, dtype):
+    """(T, 3) coords -> (T, 6L) block-major encoding [sin | cos]."""
+    scaled = _scaled_coords(x, sel)
+    return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)],
+                           axis=-1).astype(dtype)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_prec(a.dtype))
+
+
+def _forward_tile(w, enc_pt, enc_dir, dtype, keep_acts=False):
+    """Shared fwd math over one tile. Returns (color, sigma_pre[, acts])."""
+    acts = []
+    h = jax.nn.relu(_mm(enc_pt, w["w0"]) + w["b0"]).astype(dtype)
+    if keep_acts:
+        acts.append(h)
+    for i in (1, 2, 3):
+        h = jax.nn.relu(_mm(h, w[f"w{i}"]) + w[f"b{i}"]).astype(dtype)
+        if keep_acts:
+            acts.append(h)
+    h = jax.nn.relu(
+        _mm(h, w["w4h"]) + _mm(enc_pt, w["w4e"]) + w["b4"]).astype(dtype)
+    if keep_acts:
+        acts.append(h)
+    for i in (5, 6, 7):
+        h = jax.nn.relu(_mm(h, w[f"w{i}"]) + w[f"b{i}"]).astype(dtype)
+        if keep_acts:
+            acts.append(h)
+    sigma_pre = _mm(h, w["wsig"]) + w["bsig"]          # (T, 1) f32
+    point_info = (_mm(h, w["wpi"]) + w["bpi"]).astype(dtype)
+    hd = jax.nn.relu(
+        _mm(enc_dir, w["wde"]) + _mm(point_info, w["wdp"]) + w["bd"]
+    ).astype(dtype)
+    color = jax.nn.sigmoid(_mm(hd, w["wcol"]) + w["bcol"])  # (T, 3) f32
+    if keep_acts:
+        return color, sigma_pre, point_info, hd, acts
+    return color, sigma_pre
+
+
+def _fwd_kernel(*refs, dtype):
+    pts_ref, dirs_ref, ptsel_ref, dirsel_ref = refs[:4]
+    w = {name: refs[4 + i][:] for i, name in enumerate(_W_NAMES)}
+    b = {name: refs[4 + len(_W_NAMES) + i][:]
+         for i, name in enumerate(_B_NAMES)}
+    out_ref = refs[-1]
+    w.update(b)
+
+    enc_pt = _encode(pts_ref[:], ptsel_ref[:], dtype)
+    enc_dir = _encode(dirs_ref[:], dirsel_ref[:], dtype)
+    color, sigma_pre = _forward_tile(w, enc_pt, enc_dir, dtype)
+    out_ref[:] = jnp.concatenate(
+        [color, jnp.abs(sigma_pre)], axis=-1).astype(jnp.float32)
+
+
+def _flops_per_row() -> int:
+    per_row = (POINT_ENC_DIM * WIDTH + 6 * WIDTH * WIDTH
+               + (WIDTH + POINT_ENC_DIM) * WIDTH + WIDTH
+               + WIDTH * WIDTH + (WIDTH + DIR_ENC_DIM) * (WIDTH // 2)
+               + (WIDTH // 2) * 3)
+    return 2 * per_row
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
+def _fused_forward(packed, points, dirs, tile: int = 512,
+                   compute_dtype=jnp.bfloat16):
+    """points/dirs (R, 3) -> out (R, 4) = [rgb, sigma]. R % tile == 0."""
+    R = points.shape[0]
+    grid = (R // tile,)
+    row_spec = pl.BlockSpec((tile, 3), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+    w_ops = [packed[n] for n in _W_NAMES]
+    b_ops = [packed[n] for n in _B_NAMES]
+    sels = [jnp.asarray(_POINT_SEL), jnp.asarray(_DIR_SEL)]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, dtype=compute_dtype),
+        grid=grid,
+        in_specs=[row_spec, row_spec] + [full(a) for a in sels + w_ops + b_ops],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=_flops_per_row() * R,
+            bytes_accessed=R * (6 + 4) * 4 + 600_000 * 2,
+            transcendentals=R * (3 * (L_POINT + L_DIR) * 2 + 4)),
+        interpret=INTERPRET,
+    )(points, dirs, *sels, *w_ops, *b_ops)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# backward kernel: recompute activations per tile, accumulate weight grads
+# ----------------------------------------------------------------------------
+
+
+def _bwd_kernel(*refs, dtype):
+    pts_ref, dirs_ref, g_ref, ptsel_ref, dirsel_ref = refs[:5]
+    ptsel, dirsel = ptsel_ref[:], dirsel_ref[:]
+    w = {name: refs[5 + i][:] for i, name in enumerate(_W_NAMES)}
+    b = {name: refs[5 + len(_W_NAMES) + i][:]
+         for i, name in enumerate(_B_NAMES)}
+    w.update(b)
+    n_in = 5 + len(_W_NAMES) + len(_B_NAMES)
+    # outputs: d_pts, d_dirs, dW..., db...
+    dpts_ref, ddirs_ref = refs[n_in], refs[n_in + 1]
+    dw_refs = {name: refs[n_in + 2 + i] for i, name in enumerate(_W_NAMES)}
+    db_refs = {name: refs[n_in + 2 + len(_W_NAMES) + i]
+               for i, name in enumerate(_B_NAMES)}
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        for r in list(dw_refs.values()) + list(db_refs.values()):
+            r[:] = jnp.zeros_like(r)
+
+    pts = pts_ref[:]
+    dirs = dirs_ref[:]
+    g = g_ref[:]                       # (T, 4) = [g_rgb, g_sigma]
+    g_rgb = g[:, :3]
+    g_sigma = g[:, 3:4]
+
+    # ---- recompute forward with activations kept in VMEM ----
+    scaled_pt = _scaled_coords(pts, ptsel)
+    scaled_dir = _scaled_coords(dirs, dirsel)
+    sin_pt, cos_pt = jnp.sin(scaled_pt), jnp.cos(scaled_pt)
+    sin_dir, cos_dir = jnp.sin(scaled_dir), jnp.cos(scaled_dir)
+    enc_pt = jnp.concatenate([sin_pt, cos_pt], axis=-1).astype(dtype)
+    enc_dir = jnp.concatenate([sin_dir, cos_dir], axis=-1).astype(dtype)
+    color, sigma_pre, point_info, hd, acts = _forward_tile(
+        w, enc_pt, enc_dir, dtype, keep_acts=True)
+    # acts: [h0, h1, h2, h3, h4, h5, h6, h7]
+
+    cast = lambda x: x.astype(dtype)
+    prec = _prec(dtype)
+    dT = lambda a, gg: jax.lax.dot_general(          # a^T @ g, f32 accum
+        a, gg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec)
+    mmT = lambda gg, ww: jax.lax.dot_general(        # g @ w^T
+        gg, ww, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=prec)
+
+    # ---- heads ----
+    g_col_pre = cast(g_rgb * color * (1.0 - color))             # sigmoid'
+    dw_refs["wcol"][:] += dT(hd, g_col_pre)
+    db_refs["bcol"][:] += jnp.sum(g_col_pre.astype(jnp.float32), axis=0)
+
+    g_hd = cast(mmT(g_col_pre, w["wcol"])
+               * (hd.astype(jnp.float32) > 0))              # relu'
+    dw_refs["wde"][:] += dT(enc_dir, g_hd)
+    dw_refs["wdp"][:] += dT(point_info, g_hd)
+    db_refs["bd"][:] += jnp.sum(g_hd.astype(jnp.float32), axis=0)
+    g_enc_dir = mmT(g_hd, w["wde"])                             # (T, 24) f32
+    g_pi = cast(mmT(g_hd, w["wdp"]))
+
+    g_sig_pre = cast(g_sigma * jnp.sign(sigma_pre))             # d|x|
+    h7 = acts[7]
+    dw_refs["wsig"][:] += dT(h7, g_sig_pre)
+    db_refs["bsig"][:] += jnp.sum(g_sig_pre.astype(jnp.float32), axis=0)
+    dw_refs["wpi"][:] += dT(h7, g_pi)
+    db_refs["bpi"][:] += jnp.sum(g_pi.astype(jnp.float32), axis=0)
+
+    g_h = cast(mmT(g_sig_pre, w["wsig"]) + mmT(g_pi, w["wpi"]))
+
+    # ---- trunk, layers 7..5 ----
+    for i in (7, 6, 5):
+        g_pre = cast(g_h.astype(jnp.float32)
+                     * (acts[i].astype(jnp.float32) > 0))
+        dw_refs[f"w{i}"][:] += dT(acts[i - 1], g_pre)
+        db_refs[f"b{i}"][:] += jnp.sum(g_pre.astype(jnp.float32), axis=0)
+        g_h = cast(mmT(g_pre, w[f"w{i}"]))
+
+    # ---- skip layer 4 ----
+    g_pre4 = cast(g_h.astype(jnp.float32)
+                  * (acts[4].astype(jnp.float32) > 0))
+    dw_refs["w4h"][:] += dT(acts[3], g_pre4)
+    dw_refs["w4e"][:] += dT(enc_pt, g_pre4)
+    db_refs["b4"][:] += jnp.sum(g_pre4.astype(jnp.float32), axis=0)
+    g_h = cast(mmT(g_pre4, w["w4h"]))
+    g_enc_pt = mmT(g_pre4, w["w4e"])                            # (T, 60) f32
+
+    # ---- layers 3..1 ----
+    for i in (3, 2, 1):
+        g_pre = cast(g_h.astype(jnp.float32)
+                     * (acts[i].astype(jnp.float32) > 0))
+        dw_refs[f"w{i}"][:] += dT(acts[i - 1], g_pre)
+        db_refs[f"b{i}"][:] += jnp.sum(g_pre.astype(jnp.float32), axis=0)
+        g_h = cast(mmT(g_pre, w[f"w{i}"]))
+
+    # ---- layer 0 ----
+    g_pre0 = cast(g_h.astype(jnp.float32)
+                  * (acts[0].astype(jnp.float32) > 0))
+    dw_refs["w0"][:] += dT(enc_pt, g_pre0)
+    db_refs["b0"][:] += jnp.sum(g_pre0.astype(jnp.float32), axis=0)
+    g_enc_pt = g_enc_pt + mmT(g_pre0, w["w0"])
+
+    # ---- through the encoding to the coordinates ----
+    L3p, L3d = 3 * L_POINT, 3 * L_DIR
+    g_scaled_pt = (g_enc_pt[:, :L3p] * cos_pt
+                   - g_enc_pt[:, L3p:] * sin_pt)
+    g_scaled_dir = (g_enc_dir[:, :L3d] * cos_dir
+                    - g_enc_dir[:, L3d:] * sin_dir)
+    dpts_ref[:] = jax.lax.dot_general(
+        g_scaled_pt, ptsel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    ddirs_ref[:] = jax.lax.dot_general(
+        g_scaled_dir, dirsel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
+def _fused_backward(packed, points, dirs, g, tile: int = 256,
+                    compute_dtype=jnp.bfloat16):
+    R = points.shape[0]
+    grid = (R // tile,)
+    row3 = pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row4 = pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+    w_ops = [packed[n] for n in _W_NAMES]
+    b_ops = [packed[n] for n in _B_NAMES]
+    sels = [jnp.asarray(_POINT_SEL), jnp.asarray(_DIR_SEL)]
+
+    dw_shapes = [jax.ShapeDtypeStruct(packed[n].shape, jnp.float32)
+                 for n in _W_NAMES]
+    db_shapes = [jax.ShapeDtypeStruct(packed[n].shape, jnp.float32)
+                 for n in _B_NAMES]
+    out_shapes = ([jax.ShapeDtypeStruct((R, 3), jnp.float32)] * 2
+                  + dw_shapes + db_shapes)
+    out_specs = ([row3, row3]
+                 + [full(s) for s in dw_shapes + db_shapes])
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, dtype=compute_dtype),
+        grid=grid,
+        in_specs=[row3, row3, row4] + [full(a) for a in sels + w_ops + b_ops],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * _flops_per_row() * R,
+            bytes_accessed=R * 14 * 4 + 600_000 * 6,
+            transcendentals=R * (3 * (L_POINT + L_DIR) * 2 + 4)),
+        interpret=INTERPRET,
+    )(points, dirs, g, *sels, *w_ops, *b_ops)
+
+    d_pts, d_dirs = outs[0], outs[1]
+    dws = dict(zip(_W_NAMES, outs[2:2 + len(_W_NAMES)]))
+    dbs = dict(zip(_B_NAMES, outs[2 + len(_W_NAMES):]))
+    return d_pts, d_dirs, dws, dbs
+
+
+def _unpack_grads(dws, dbs):
+    """Kernel-layout weight grads -> reference-layout param pytree."""
+    grads = {
+        "trunk_0": {"w": dws["w0"][_POINT_INV], "b": dbs["b0"]},
+        "trunk_4": {"w": jnp.concatenate(
+            [dws["w4h"], dws["w4e"][_POINT_INV]], axis=0), "b": dbs["b4"]},
+        "sigma": {"w": dws["wsig"], "b": dbs["bsig"]},
+        "point_info": {"w": dws["wpi"], "b": dbs["bpi"]},
+        "dir_info": {"w": jnp.concatenate(
+            [dws["wde"][_DIR_INV], dws["wdp"]], axis=0), "b": dbs["bd"]},
+        "color": {"w": dws["wcol"], "b": dbs["bcol"]},
+    }
+    for i in (1, 2, 3, 5, 6, 7):
+        grads[f"trunk_{i}"] = {"w": dws[f"w{i}"], "b": dbs[f"b{i}"]}
+    return grads
+
+
+# ----------------------------------------------------------------------------
+# public field fn: custom-VJP wrapper matching render.FieldFn
+# ----------------------------------------------------------------------------
+
+def _tile_fwd(dtype):
+    return 256 if dtype == jnp.float32 else 512
+
+
+def _tile_bwd(dtype):
+    # f32 + Precision.HIGHEST needs extra MXU scratch; stay under 16 MB VMEM
+    return 128 if dtype == jnp.float32 else 256
+
+
+def _pad_rows(x, tile):
+    R = x.shape[0]
+    pad = (-R) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    return x, R
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _field_flat(params, pts, dirs, compute_dtype):
+    packed = pack_params(params, compute_dtype)
+    tile = _tile_fwd(compute_dtype)
+    pts_p, R = _pad_rows(pts, tile)
+    dirs_p, _ = _pad_rows(dirs, tile)
+    out = _fused_forward(packed, pts_p, dirs_p, tile=tile,
+                         compute_dtype=compute_dtype)[:R]
+    return out[:, :3], out[:, 3:4]
+
+
+def _field_flat_fwd(params, pts, dirs, compute_dtype):
+    out = _field_flat(params, pts, dirs, compute_dtype)
+    return out, (params, pts, dirs)
+
+
+def _field_flat_bwd(compute_dtype, residuals, cotangents):
+    params, pts, dirs = residuals
+    g_rgb, g_sigma = cotangents
+    g = jnp.concatenate([g_rgb, g_sigma], axis=-1)
+    packed = pack_params(params, compute_dtype)
+    tile = _tile_bwd(compute_dtype)
+    pts_p, R = _pad_rows(pts, tile)
+    dirs_p, _ = _pad_rows(dirs, tile)
+    g_p, _ = _pad_rows(g, tile)
+    d_pts, d_dirs, dws, dbs = _fused_backward(
+        packed, pts_p, dirs_p, g_p, tile=tile,
+        compute_dtype=compute_dtype)
+    return _unpack_grads(dws, dbs), d_pts[:R], d_dirs[:R]
+
+
+_field_flat.defvjp(_field_flat_fwd, _field_flat_bwd)
+
+
+def field_pallas(params, points: jnp.ndarray, dirs: jnp.ndarray,
+                 compute_dtype=jnp.bfloat16,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for :func:`tinynerf.core.render.field_jnp` running
+    the fused Pallas kernel. points/dirs (..., 3) -> (color, sigma)."""
+    lead = points.shape[:-1]
+    pts = points.reshape(-1, 3).astype(jnp.float32)
+    drs = dirs.reshape(-1, 3).astype(jnp.float32)
+    color, sigma = _field_flat(params, pts, drs, compute_dtype)
+    return color.reshape(*lead, 3), sigma.reshape(*lead, 1)
+
+
+def field_pallas_f32(params, points, dirs):
+    """fp32-compute variant (slower, tighter parity with field_jnp)."""
+    return field_pallas(params, points, dirs, compute_dtype=jnp.float32)

@@ -45,20 +45,19 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
 def make_field_fn(cfg: Config) -> render.FieldFn:
     """Pick the field evaluator: fused Pallas kernel on TPU, pure jnp
     otherwise, with optional bf16 compute (fp32 params/geometry)."""
-    base = render.field_jnp
     if cfg.use_pallas and jax.default_backend() == "tpu":
-        try:
-            from tinynerf.kernels.mlp_kernel import field_pallas
-            base = field_pallas
-        except ImportError:
-            pass
+        import functools
+        from tinynerf.kernels.mlp_kernel import field_pallas
+        dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+        return functools.partial(field_pallas, compute_dtype=dtype)
     if cfg.precision == "bf16":
         def bf16_field(params, points, dirs):
-            color, sigma = base(params, points.astype(jnp.bfloat16),
-                                dirs.astype(jnp.bfloat16))
+            color, sigma = render.field_jnp(
+                params, points.astype(jnp.bfloat16),
+                dirs.astype(jnp.bfloat16))
             return color.astype(jnp.float32), sigma.astype(jnp.float32)
         return bf16_field
-    return base
+    return render.field_jnp
 
 
 def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
