@@ -59,6 +59,8 @@ class Config:
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all local
     log_dir: str = "./runs/"
     render_chunk: int = 4096          # rays per eval-render microbatch
+    pixel_dtype: str = "f32"          # "f32" | "u8" HBM pixel table storage
+    host_feed: bool = False           # C++ host prefetcher instead of HBM table
 
     @property
     def total_samples(self) -> int:
@@ -68,7 +70,8 @@ class Config:
 _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA"}
-_BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC"}
+_BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
+              "HOST_FEED"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -81,6 +84,7 @@ _KEY_TO_FIELD = {
     "COMPAT_SORT": "compat_sort", "STRATIFIED": "stratified", "NDC": "ndc",
     "MESH_SHAPE": "mesh_shape", "LOG_DIR": "log_dir",
     "RENDER_CHUNK": "render_chunk",
+    "PIXEL_DTYPE": "pixel_dtype", "HOST_FEED": "host_feed",
 }
 
 

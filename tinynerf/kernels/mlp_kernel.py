@@ -426,12 +426,12 @@ def _unpack_grads(dws, dbs):
 # ----------------------------------------------------------------------------
 
 def _tile_fwd(dtype):
-    return 256 if dtype == jnp.float32 else 512
+    return 256 if dtype == jnp.float32 else 1024
 
 
 def _tile_bwd(dtype):
     # f32 + Precision.HIGHEST needs extra MXU scratch; stay under 16 MB VMEM
-    return 128 if dtype == jnp.float32 else 256
+    return 128 if dtype == jnp.float32 else 512
 
 
 def _pad_rows(x, tile):

@@ -23,7 +23,7 @@ from tinynerf import ckpt, eval as evallib, train as trainlib
 from tinynerf.config import Config
 from tinynerf.core.rays import make_k_inv
 from tinynerf.data.poses import load_scene
-from tinynerf.data.rays import RayTable
+from tinynerf.data.rays import RayBatch, RayTable
 from tinynerf.logging import MetricLogger, PreviewCanvas
 from tinynerf.parallel import mesh as meshlib
 
@@ -33,17 +33,21 @@ class Runner:
         self.cfg = cfg
         self.start_time = time.strftime("%m-%d-%H-%M-%S", time.localtime())
 
-        # --- data (host ingest -> HBM tables) ---
+        # --- data (host ingest -> HBM tables, or host-side for big scenes) ---
         train_scene = load_scene(cfg.img_dir, cfg.data_type, "train", cfg.low_res)
-        self.train_table = RayTable(train_scene)
+        table_kw = dict(pixel_dtype=cfg.pixel_dtype,
+                        device_pixels=not cfg.host_feed)
+        self.train_table = RayTable(train_scene, **table_kw)
         # llff splits are identical (Q10); avoid re-ingesting the same images
         if cfg.data_type == "llff":
             self.val_table = self.test_table = self.train_table
         else:
             self.val_table = RayTable(
-                load_scene(cfg.img_dir, cfg.data_type, "val", cfg.low_res))
+                load_scene(cfg.img_dir, cfg.data_type, "val", cfg.low_res),
+                **table_kw)
             self.test_table = RayTable(
-                load_scene(cfg.img_dir, cfg.data_type, "test", cfg.low_res))
+                load_scene(cfg.img_dir, cfg.data_type, "test", cfg.low_res),
+                **table_kw)
 
         self.k_inv = make_k_inv(self.train_table.height, self.train_table.width,
                                 self.train_table.focal)
@@ -75,10 +79,23 @@ class Runner:
     def _step_fn(self, table: RayTable):
         key = id(table)
         if key not in self._step_fns:
-            self._step_fns[key] = trainlib.make_train_step(
-                self.cfg, table, self.k_inv,
-                batch_sharding=self.batch_sharding)
+            if self.cfg.host_feed:
+                self._step_fns[key] = trainlib.make_host_fed_train_step(
+                    self.cfg, self.k_inv, batch_sharding=self.batch_sharding)
+            else:
+                self._step_fns[key] = trainlib.make_train_step(
+                    self.cfg, table, self.k_inv,
+                    batch_sharding=self.batch_sharding)
         return self._step_fns[key]
+
+    def _make_feeder(self, table: RayTable):
+        """Native C++ prefetching batch source (big-scene path)."""
+        from tinynerf.data.native import make_ray_store
+        store = make_ray_store(
+            table.host_pixels, np.asarray(table.poses), table.height,
+            table.width, seed=self.cfg.seed)
+        store.start(self.cfg.batch_ray)
+        return store
 
     def train(self, mode: str = "train") -> None:
         """Run the training loop until ``total_iter`` (resuming mid-count).
@@ -92,9 +109,18 @@ class Runner:
         start = int(self.state.iteration)
         end = start + cfg.step if mode == "val" else cfg.total_iter
         print(f"[STEP] {mode}: iterations {start} -> {end}")
+        feeder = self._make_feeder(table) if cfg.host_feed else None
         t0 = time.perf_counter()
         for it in range(start, end):
-            self.state, metrics = step_fn(self.state)
+            if feeder is not None:
+                rows, cols, rgb, pose, pic = feeder.next()
+                batch = RayBatch(
+                    rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+                    rgb=jnp.asarray(rgb), pose17=jnp.asarray(pose),
+                    pic=jnp.asarray(pic))
+                self.state, metrics = step_fn(self.state, batch)
+            else:
+                self.state, metrics = step_fn(self.state)
             self.logger.log(it, {f"loss/{mode}": metrics["loss"],
                                  f"lr/{mode}": metrics["lr"]})
             if (it + 1) % cfg.step == 0:
@@ -119,6 +145,8 @@ class Runner:
                         jax.device_get(self.state.opt))
                     self.last_iter = it
                 t0 = time.perf_counter()
+        if feeder is not None:
+            feeder.close()
         self.logger.flush()
 
     def display(self, max_views: Optional[int] = None) -> float:

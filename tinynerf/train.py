@@ -111,6 +111,39 @@ def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
     return jax.jit(step, donate_argnums=0)
 
 
+def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
+                             field_fn: Optional[render.FieldFn] = None,
+                             batch_sharding=None) -> Callable:
+    """Train step taking the ray batch as an argument — the big-scene path.
+
+    Used with the native C++ host prefetcher (``tinynerf/data/native.py``)
+    when the pixel table exceeds HBM: the C++ ring buffer assembles batches
+    on background threads and jax's async dispatch overlaps the host->device
+    copy with the previous step's compute.
+    """
+    loss_fn = make_loss_fn(cfg, k_inv, field_fn)
+    lr_fn = optim.make_lr_fn(cfg)
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        key, skey = jax.random.split(state.key)
+        if batch_sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
+                if x.ndim >= 1 else x, batch)
+        (loss, (c_co, c_fi)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, skey)
+        lr = lr_fn(state.iteration)
+        params, opt = optim.adam_update(grads, state.opt, state.params, lr)
+        metrics = {"loss": loss, "lr": lr,
+                   "c_true0": batch.rgb[0], "c_fine0": c_fi[0],
+                   "rows": batch.rows, "cols": batch.cols,
+                   "rgb": batch.rgb, "pic": batch.pic}
+        return TrainState(params=params, opt=opt,
+                          iteration=state.iteration + 1, key=key), metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
 def make_multi_step(step_fn: Callable, unroll: int) -> Callable:
     """Fuse ``unroll`` train steps into one compiled program with lax.scan —
     amortizes per-dispatch overhead for benchmarking and headless training."""
