@@ -16,14 +16,20 @@ def main() -> None:
     parser.add_argument("--conf", type=str, default="lego",
                         help="scene name under ./conf/ or a path to an .ini")
     parser.add_argument("--mode", type=str, default="all",
-                        choices=["all", "train", "display"])
+                        choices=["all", "train", "display", "path"])
     parser.add_argument("--iters", type=int, default=None,
                         help="override TOTAL_ITER")
+    parser.add_argument("--path-views", type=int, default=120,
+                        help="number of frames for --mode=path")
+    parser.add_argument("--path-scale", type=float, default=1.0,
+                        help="resolution multiplier for --mode=path")
     args = parser.parse_args()
 
     from tinynerf.config import load_config
+    from tinynerf.parallel.distributed import maybe_initialize
     from tinynerf.runner import Runner
 
+    maybe_initialize()  # multi-host (pod) join over DCN; no-op single-process
     cfg = load_config(args.conf)
     if args.iters is not None:
         cfg.total_iter = args.iters
@@ -33,6 +39,9 @@ def main() -> None:
         runner.train("train")
     if args.mode in ("all", "display"):
         runner.display()
+    if args.mode == "path":
+        runner.render_path_video(n_views=args.path_views,
+                                 res_scale=args.path_scale)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,107 @@
+"""Camera-path generation + NDC render path + path video rendering."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tinynerf import eval as evallib, train as trainlib
+from tinynerf.config import Config
+from tinynerf.core import render
+from tinynerf.core.rays import make_k_inv, pixels_to_rays
+from tinynerf.data import paths
+from tinynerf.data.poses import load_scene
+from tinynerf.data.rays import RayTable
+
+
+@pytest.fixture(scope="module")
+def pose_rows(request):
+    scene = load_scene(request.getfixturevalue("sync_scene_dir"),
+                       "sync", "train")
+    return scene.poses_bounds
+
+
+def _check_rows(rows, n):
+    assert rows.shape == (n, 17)
+    c2ws = rows[:, :15].reshape(-1, 3, 5)[:, :, :4]
+    rots = c2ws[:, :, :3]
+    # rotation columns orthonormal
+    eye = np.einsum("nij,nik->njk", rots, rots)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (n, 1, 1)), atol=1e-5)
+    assert np.all(rows[:, 15] < rows[:, 16])  # near < far
+
+
+def test_orbit_path(pose_rows):
+    rows = paths.orbit_path(pose_rows, n_views=16)
+    _check_rows(rows, 16)
+    # orbit keeps constant radius
+    c2ws = rows[:, :15].reshape(-1, 3, 5)[:, :, :4]
+    radii = np.linalg.norm(c2ws[:, :, 3], axis=1)
+    np.testing.assert_allclose(radii, radii[0], rtol=1e-5)
+    # cameras look at the origin: back axis parallel to position
+    backs = c2ws[:, :, 2]
+    cos = np.sum(backs * c2ws[:, :, 3], axis=1) / radii
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+
+
+def _forward_facing_rows(n=5):
+    """Cluster of near-parallel cameras (LLFF-style forward-facing rig)."""
+    rng = np.random.default_rng(0)
+    rows = np.zeros((n, 17), np.float32)
+    hwf = np.array([8.0, 10.0, 25.0])
+    for i in range(n):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.2 * rng.normal(), 0.1 * rng.normal(),
+                      4.0 + 0.1 * rng.normal()]
+        rows[i] = np.concatenate(
+            [np.concatenate([c2w[:3, :4], hwf.reshape(3, 1)], axis=1)
+             .flatten(), [1.0, 8.0]])
+    return rows
+
+
+def test_spiral_path():
+    base = _forward_facing_rows()
+    rows = paths.spiral_path(base, n_views=12, res_scale=2.0)
+    _check_rows(rows, 12)
+    hwf = rows[0, :15].reshape(3, 5)[:, 4]
+    base_hwf = base[0, :15].reshape(3, 5)[:, 4]
+    np.testing.assert_allclose(hwf, base_hwf * 2.0, rtol=1e-5)
+
+
+def test_spiral_path_360_capture_does_not_degenerate(pose_rows):
+    # spiral on an inward 360 rig is unusual but must stay well-formed
+    rows = paths.spiral_path(pose_rows, n_views=6)
+    _check_rows(rows, 6)
+
+
+def test_make_path_dispatch(pose_rows):
+    assert paths.make_path(pose_rows, "llff", 4).shape == (4, 17)
+    assert paths.make_path(pose_rows, "sync", 4).shape == (4, 17)
+
+
+def test_ndc_render_runs(pose_rows):
+    from tinynerf.core import mlp
+    import jax
+    params = mlp.init_network(jax.random.PRNGKey(0))
+    k_inv = make_k_inv(12, 12, 10.0)
+    rows = jnp.asarray(np.array([3.0, 4.0], np.float32))
+    cols = jnp.asarray(np.array([5.0, 6.0], np.float32))
+    pose17 = jnp.asarray(np.tile(pose_rows[0], (2, 1)))
+    c_co, c_fi = render.render_rays(params, rows, cols, pose17, k_inv,
+                                    4, 4, ndc_params=(12.0, 12.0, 10.0))
+    assert np.all(np.isfinite(np.asarray(c_fi)))
+
+
+def test_render_path_video(sync_scene_dir, tmp_path, pose_rows):
+    import jax
+    cfg = Config(batch_ray=16, n_coarse=4, n_fine=4, use_pallas=False,
+                 render_chunk=72, results_path=str(tmp_path))
+    state = trainlib.init_state(cfg)
+    rows = paths.orbit_path(pose_rows, n_views=2)
+    hwf = rows[0, :15].reshape(3, 5)[:, 4]
+    k_inv = make_k_inv(float(hwf[0]), float(hwf[1]), float(hwf[2]))
+    frames = evallib.render_path(cfg, state.params, rows, k_inv,
+                                 str(tmp_path / "path"), save=True)
+    assert frames.shape == (2, 12, 12, 3)
+    import os
+    assert (os.path.isfile(tmp_path / "path.mp4")
+            or os.path.isfile(tmp_path / "path.gif"))

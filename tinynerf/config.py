@@ -61,6 +61,7 @@ class Config:
     render_chunk: int = 4096          # rays per eval-render microbatch
     pixel_dtype: str = "f32"          # "f32" | "u8" HBM pixel table storage
     host_feed: bool = False           # C++ host prefetcher instead of HBM table
+    profile_steps: int = 0            # capture a jax trace of N initial steps
 
     @property
     def total_samples(self) -> int:
@@ -68,7 +69,8 @@ class Config:
 
 
 _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
-             "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK"}
+             "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
+             "PROFILE_STEPS"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED"}
@@ -85,6 +87,7 @@ _KEY_TO_FIELD = {
     "MESH_SHAPE": "mesh_shape", "LOG_DIR": "log_dir",
     "RENDER_CHUNK": "render_chunk",
     "PIXEL_DTYPE": "pixel_dtype", "HOST_FEED": "host_feed",
+    "PROFILE_STEPS": "profile_steps",
 }
 
 

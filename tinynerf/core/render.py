@@ -79,13 +79,25 @@ def render_rays(params: mlp.Params,
                 field_fn: FieldFn = field_jnp,
                 key: Optional[jax.Array] = None,
                 compat_sort: bool = False,
+                ndc_params: Optional[Tuple[float, float, float]] = None,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
 
     Entirely on device inside one traced graph — no host sync anywhere
     (the reference crosses the device boundary 3x per iteration, SURVEY §3.2).
+
+    ``ndc_params=(height, width, focal)`` enables the NDC frustum warp for
+    forward-facing scenes (an opt-in capability the reference lacks,
+    SURVEY.md Q10/D1): rays are shifted to the near plane, warped into the
+    [-1,1]^3 cube, and marched with t in [0, 1].
     """
     origins, dirs, near, far = raylib.pixels_to_rays(rows, cols, pose17, k_inv)
+    if ndc_params is not None:
+        ndc_h, ndc_w, ndc_f = ndc_params
+        origins, dirs = raylib.ndc_rays(ndc_h, ndc_w, ndc_f, 1.0,
+                                        origins, dirs)
+        near = jnp.zeros_like(near)
+        far = jnp.ones_like(far)
 
     # ---- coarse pass (nerf.py:288-295) ----
     t_co = sampling.coarse_ts(near, far, n_coarse, key=key)

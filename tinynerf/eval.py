@@ -23,7 +23,7 @@ from tinynerf.data.rays import RayTable
 
 
 def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
-                   batch_sharding=None):
+                   batch_sharding=None, ndc_params=None):
     """Jitted chunk renderer: (params, rows, cols, pose17) -> C_fine (chunk, 3)."""
     if field_fn is None:
         from tinynerf.train import make_field_fn
@@ -36,7 +36,8 @@ def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
             pose17 = jax.lax.with_sharding_constraint(pose17, batch_sharding)
         _, c_fine = render.render_rays(
             params, rows, cols, pose17, k_inv, cfg.n_coarse, cfg.n_fine,
-            field_fn=field_fn, compat_sort=cfg.compat_sort)
+            field_fn=field_fn, compat_sort=cfg.compat_sort,
+            ndc_params=ndc_params)
         return c_fine
 
     return jax.jit(render_chunk)
@@ -74,11 +75,12 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
                     k_inv: jnp.ndarray, start_time: str,
                     last_iter: int, field_fn=None,
                     save: bool = True, max_views: Optional[int] = None,
-                    ) -> np.ndarray:
+                    ndc_params=None) -> np.ndarray:
     """Render every view of ``table`` in order; optionally write per-view JPGs
     under ``results_path/<start_time>/`` and an mp4 at 30 fps (reference
     ``nerf.py:523-530``). Returns the (N, H, W, 3) stack."""
-    render_chunk_fn = make_render_fn(cfg, k_inv, field_fn=field_fn)
+    render_chunk_fn = make_render_fn(cfg, k_inv, field_fn=field_fn,
+                                     ndc_params=ndc_params)
     n_views = table.num_pics if max_views is None else min(max_views, table.num_pics)
     frames = np.empty((n_views, table.height, table.width, 3), np.float32)
     poses = np.asarray(table.poses)
@@ -103,6 +105,35 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
             # no ffmpeg/pyav backend in this environment — fall back to GIF
             imageio.mimwrite(base + ".gif", video_u8,
                              duration=1000 / 30, loop=0)
+    return frames
+
+
+def render_path(cfg: Config, params: Any, pose_rows: np.ndarray,
+                k_inv: jnp.ndarray, out_base: str, field_fn=None,
+                fps: int = 30, save: bool = True,
+                ndc_params=None) -> np.ndarray:
+    """Render an arbitrary camera path (spiral/orbit, ``tinynerf/data/paths``)
+    to a video. Frame size comes from each pose row's h/w columns, so
+    res-scaled paths (e.g. 1600x1600 spiral) work unchanged; ``k_inv`` must
+    match the path intrinsics (``make_k_inv`` of the scaled h/w/f)."""
+    height = int(pose_rows[0, :15].reshape(3, 5)[0, 4])
+    width = int(pose_rows[0, :15].reshape(3, 5)[1, 4])
+    render_chunk_fn = make_render_fn(cfg, k_inv, field_fn=field_fn,
+                                     ndc_params=ndc_params)
+    frames = np.empty((pose_rows.shape[0], height, width, 3), np.float32)
+    for i in range(pose_rows.shape[0]):
+        frames[i] = render_image(render_chunk_fn, params, pose_rows[i],
+                                 height, width, chunk=cfg.render_chunk)
+    frames = np.clip(frames, 0.0, 1.0)
+    if save:
+        import imageio
+        os.makedirs(os.path.dirname(out_base) or ".", exist_ok=True)
+        video_u8 = (frames * 255.0).astype(np.uint8)
+        try:
+            imageio.mimwrite(out_base + ".mp4", video_u8, fps=fps)
+        except (ValueError, IOError):
+            imageio.mimwrite(out_base + ".gif", video_u8,
+                             duration=1000 / fps, loop=0)
     return frames
 
 

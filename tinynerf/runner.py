@@ -51,6 +51,11 @@ class Runner:
 
         self.k_inv = make_k_inv(self.train_table.height, self.train_table.width,
                                 self.train_table.focal)
+        # NDC warp (opt-in for forward-facing scenes, Q10/D1)
+        self.ndc_params = (
+            (float(self.train_table.height), float(self.train_table.width),
+             float(self.train_table.focal))
+            if cfg.ndc and cfg.data_type == "llff" else None)
 
         # --- mesh / sharding (ray-DP; single-device when 1 chip) ---
         self.mesh = meshlib.mesh_for_config(cfg)
@@ -81,11 +86,13 @@ class Runner:
         if key not in self._step_fns:
             if self.cfg.host_feed:
                 self._step_fns[key] = trainlib.make_host_fed_train_step(
-                    self.cfg, self.k_inv, batch_sharding=self.batch_sharding)
+                    self.cfg, self.k_inv, batch_sharding=self.batch_sharding,
+                    ndc_params=self.ndc_params)
             else:
                 self._step_fns[key] = trainlib.make_train_step(
                     self.cfg, table, self.k_inv,
-                    batch_sharding=self.batch_sharding)
+                    batch_sharding=self.batch_sharding,
+                    ndc_params=self.ndc_params)
         return self._step_fns[key]
 
     def _make_feeder(self, table: RayTable):
@@ -110,8 +117,18 @@ class Runner:
         end = start + cfg.step if mode == "val" else cfg.total_iter
         print(f"[STEP] {mode}: iterations {start} -> {end}")
         feeder = self._make_feeder(table) if cfg.host_feed else None
+        profiling_until = (start + cfg.profile_steps
+                           if (cfg.profile_steps and mode == "train") else -1)
+        if profiling_until > 0:
+            jax.profiler.start_trace(os.path.join(cfg.log_dir, "trace"))
         t0 = time.perf_counter()
         for it in range(start, end):
+            if it == profiling_until:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                print(f"[PROFILE] trace of {cfg.profile_steps} steps -> "
+                      f"{os.path.join(cfg.log_dir, 'trace')}")
+                profiling_until = -1
             if feeder is not None:
                 rows, cols, rgb, pose, pic = feeder.next()
                 batch = RayBatch(
@@ -145,6 +162,8 @@ class Runner:
                         jax.device_get(self.state.opt))
                     self.last_iter = it
                 t0 = time.perf_counter()
+        if profiling_until > 0:  # loop shorter than the trace window
+            jax.profiler.stop_trace()
         if feeder is not None:
             feeder.close()
         self.logger.flush()
@@ -154,7 +173,26 @@ class Runner:
         print("Start generating video...")
         frames = evallib.render_test_set(
             self.cfg, self.state.params, self.test_table, self.k_inv,
-            self.start_time, self.last_iter, save=True, max_views=max_views)
+            self.start_time, self.last_iter, save=True, max_views=max_views,
+            ndc_params=self.ndc_params)
         score = evallib.test_psnr(frames, self.test_table)
         print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views")
         return score
+
+    def render_path_video(self, n_views: int = 120,
+                          res_scale: float = 1.0) -> None:
+        """Free-viewpoint video along a scene-appropriate camera path
+        (spiral for llff, 360-degree orbit for sync). ``res_scale=2`` renders
+        e.g. a 1600x1600-class spiral from 800-class training intrinsics."""
+        from tinynerf.data.paths import make_path
+        pose_rows = make_path(np.asarray(self.train_table.poses),
+                              self.cfg.data_type, n_views=n_views,
+                              res_scale=res_scale)
+        hwf = pose_rows[0, :15].reshape(3, 5)[:, 4]
+        k_inv = make_k_inv(float(hwf[0]), float(hwf[1]), float(hwf[2]))
+        out_base = os.path.join(
+            self.cfg.results_path, f"{self.start_time}_path_{self.last_iter}")
+        print(f"Rendering {n_views}-view path at "
+              f"{int(hwf[0])}x{int(hwf[1])} -> {out_base}")
+        evallib.render_path(self.cfg, self.state.params, pose_rows, k_inv,
+                            out_base, ndc_params=self.ndc_params)

@@ -61,7 +61,8 @@ def make_field_fn(cfg: Config) -> render.FieldFn:
 
 
 def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
-                 field_fn: Optional[render.FieldFn] = None) -> Callable:
+                 field_fn: Optional[render.FieldFn] = None,
+                 ndc_params=None) -> Callable:
     """loss(params, batch, key) -> (loss, (C_coarse, C_fine)). Shared by the
     single-chip and mesh-sharded steps."""
     field_fn = field_fn or make_field_fn(cfg)
@@ -71,7 +72,7 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             params, batch.rows, batch.cols, batch.pose17, k_inv,
             cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
             key=key if cfg.stratified else None,
-            compat_sort=cfg.compat_sort)
+            compat_sort=cfg.compat_sort, ndc_params=ndc_params)
         return render.ray_loss(c_co, c_fi, batch.rgb), (c_co, c_fi)
 
     return loss_fn
@@ -79,14 +80,14 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
 
 def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
                     field_fn: Optional[render.FieldFn] = None,
-                    batch_sharding=None,
+                    batch_sharding=None, ndc_params=None,
                     ) -> Callable[[TrainState], Tuple[TrainState, dict]]:
     """Build the jitted step. With ``batch_sharding`` (a NamedSharding over the
     ray axis), the sampled batch is sharding-constrained so XLA partitions the
     whole step data-parallel over the mesh and inserts the gradient psum
     itself — collectives ride ICI, params stay replicated (SURVEY.md §2.17).
     """
-    loss_fn = make_loss_fn(cfg, k_inv, field_fn)
+    loss_fn = make_loss_fn(cfg, k_inv, field_fn, ndc_params)
     lr_fn = optim.make_lr_fn(cfg)
 
     def step(state: TrainState) -> Tuple[TrainState, dict]:
@@ -113,7 +114,7 @@ def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
 
 def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
                              field_fn: Optional[render.FieldFn] = None,
-                             batch_sharding=None) -> Callable:
+                             batch_sharding=None, ndc_params=None) -> Callable:
     """Train step taking the ray batch as an argument — the big-scene path.
 
     Used with the native C++ host prefetcher (``tinynerf/data/native.py``)
@@ -121,7 +122,7 @@ def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
     on background threads and jax's async dispatch overlaps the host->device
     copy with the previous step's compute.
     """
-    loss_fn = make_loss_fn(cfg, k_inv, field_fn)
+    loss_fn = make_loss_fn(cfg, k_inv, field_fn, ndc_params)
     lr_fn = optim.make_lr_fn(cfg)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, dict]:
