@@ -123,9 +123,14 @@ def render_rays(params: mlp.Params,
         sigma_s = jnp.sort(sigma_all, axis=1)
     else:
         t_cat, ranks = sampling.merge_sorted_ts(t_co, t_fi)
-        t_all = sampling.apply_ranks(ranks, t_cat)
-        color_s = sampling.apply_ranks(ranks, color_all)
-        sigma_s = sampling.apply_ranks(ranks, sigma_all)
+        # permute (t, rgb, sigma) with ONE batched one-hot matmul so the
+        # channels stay coupled (Q4 fix) and the MXU does a single pass
+        bundle = jnp.concatenate(
+            [t_cat[..., None], color_all, sigma_all[..., None]], axis=-1)
+        bundle_s = sampling.apply_ranks(ranks, bundle)
+        t_all = bundle_s[..., 0]
+        color_s = bundle_s[..., 1:4]
+        sigma_s = bundle_s[..., 4]
 
     delta_all = jnp.concatenate(
         [t_all[:, 1:] - t_all[:, :-1],

@@ -43,10 +43,50 @@ def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
     return jax.jit(render_chunk)
 
 
+def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
+                  field_fn=None, ndc_params=None):
+    """Whole-frame renderer: ONE jitted dispatch per view.
+
+    The pixel grid is marched with an on-device ``lax.map`` over fixed-size
+    chunks (bounding peak activation memory) instead of a host loop — a
+    full 800x800 view is a single XLA program, so per-dispatch latency is
+    paid once per frame, not once per 4096-pixel chunk."""
+    if field_fn is None:
+        from tinynerf.train import make_field_fn
+        field_fn = make_field_fn(cfg)
+    num_pix = height * width
+    chunk = min(cfg.render_chunk, num_pix)
+    n_chunks = -(-num_pix // chunk)
+    padded = n_chunks * chunk
+
+    rr, cc = np.meshgrid(np.arange(height, dtype=np.float32),
+                         np.arange(width, dtype=np.float32), indexing="ij")
+    rows = np.pad(rr.reshape(-1), (0, padded - num_pix)).reshape(n_chunks, chunk)
+    cols = np.pad(cc.reshape(-1), (0, padded - num_pix)).reshape(n_chunks, chunk)
+    rows_d, cols_d = jnp.asarray(rows), jnp.asarray(cols)
+
+    @jax.jit
+    def frame(params, pose17_row):
+        pose = jnp.broadcast_to(pose17_row.astype(jnp.float32), (chunk, 17))
+
+        def one_chunk(rc):
+            r, c = rc
+            _, c_fine = render.render_rays(
+                params, r, c, pose, k_inv, cfg.n_coarse, cfg.n_fine,
+                field_fn=field_fn, compat_sort=cfg.compat_sort,
+                ndc_params=ndc_params)
+            return c_fine
+
+        out = jax.lax.map(one_chunk, (rows_d, cols_d))  # (n_chunks, chunk, 3)
+        return out.reshape(padded, 3)[:num_pix].reshape(height, width, 3)
+
+    return frame
+
+
 def render_image(render_chunk_fn, params: Any, pose17_row: np.ndarray,
                  height: int, width: int, chunk: int = 4096) -> np.ndarray:
-    """Render one (H, W, 3) view by marching the pixel grid in fixed-size
-    chunks (padded tail keeps one compiled shape)."""
+    """Render one (H, W, 3) view with a host-side chunk loop (kept for the
+    mesh-sharded path and tests; :func:`make_frame_fn` is the fast path)."""
     num_pix = height * width
     rr, cc = np.meshgrid(np.arange(height, dtype=np.float32),
                          np.arange(width, dtype=np.float32), indexing="ij")
@@ -79,15 +119,13 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
     """Render every view of ``table`` in order; optionally write per-view JPGs
     under ``results_path/<start_time>/`` and an mp4 at 30 fps (reference
     ``nerf.py:523-530``). Returns the (N, H, W, 3) stack."""
-    render_chunk_fn = make_render_fn(cfg, k_inv, field_fn=field_fn,
-                                     ndc_params=ndc_params)
+    frame_fn = make_frame_fn(cfg, k_inv, table.height, table.width,
+                             field_fn=field_fn, ndc_params=ndc_params)
     n_views = table.num_pics if max_views is None else min(max_views, table.num_pics)
     frames = np.empty((n_views, table.height, table.width, 3), np.float32)
     poses = np.asarray(table.poses)
     for pic in range(n_views):
-        frames[pic] = render_image(render_chunk_fn, params, poses[pic],
-                                   table.height, table.width,
-                                   chunk=cfg.render_chunk)
+        frames[pic] = np.asarray(frame_fn(params, jnp.asarray(poses[pic])))
     frames = np.clip(frames, 0.0, 1.0)
 
     if save:
@@ -118,12 +156,11 @@ def render_path(cfg: Config, params: Any, pose_rows: np.ndarray,
     match the path intrinsics (``make_k_inv`` of the scaled h/w/f)."""
     height = int(pose_rows[0, :15].reshape(3, 5)[0, 4])
     width = int(pose_rows[0, :15].reshape(3, 5)[1, 4])
-    render_chunk_fn = make_render_fn(cfg, k_inv, field_fn=field_fn,
-                                     ndc_params=ndc_params)
+    frame_fn = make_frame_fn(cfg, k_inv, height, width, field_fn=field_fn,
+                             ndc_params=ndc_params)
     frames = np.empty((pose_rows.shape[0], height, width, 3), np.float32)
     for i in range(pose_rows.shape[0]):
-        frames[i] = render_image(render_chunk_fn, params, pose_rows[i],
-                                 height, width, chunk=cfg.render_chunk)
+        frames[i] = np.asarray(frame_fn(params, jnp.asarray(pose_rows[i])))
     frames = np.clip(frames, 0.0, 1.0)
     if save:
         import imageio

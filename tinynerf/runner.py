@@ -121,31 +121,59 @@ class Runner:
                            if (cfg.profile_steps and mode == "train") else -1)
         if profiling_until > 0:
             jax.profiler.start_trace(os.path.join(cfg.log_dir, "trace"))
+
+        # scan-fused chunks (one dispatch per chunk, full per-iter metric
+        # stream) unless the host feeder or the profiler needs per-step
+        # host control. Chunk divides the logging cadence so checkpoints
+        # land exactly on (it+1) % STEP == 0 boundaries.
+        chunked = feeder is None and profiling_until < 0
+        chunk = self._chunk_size(cfg.step) if chunked else 1
+        multi_fn = (trainlib.make_chunked_step(step_fn, chunk)
+                    if chunked and chunk > 1 else None)
+
         t0 = time.perf_counter()
-        for it in range(start, end):
+        it = start
+        while it < end:
             if it == profiling_until:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
                 print(f"[PROFILE] trace of {cfg.profile_steps} steps -> "
                       f"{os.path.join(cfg.log_dir, 'trace')}")
                 profiling_until = -1
-            if feeder is not None:
-                rows, cols, rgb, pose, pic = feeder.next()
-                batch = RayBatch(
-                    rows=jnp.asarray(rows), cols=jnp.asarray(cols),
-                    rgb=jnp.asarray(rgb), pose17=jnp.asarray(pose),
-                    pic=jnp.asarray(pic))
-                self.state, metrics = step_fn(self.state, batch)
+                chunked = feeder is None
+                chunk = self._chunk_size(cfg.step) if chunked else 1
+                multi_fn = (trainlib.make_chunked_step(step_fn, chunk)
+                            if chunked and chunk > 1 else None)
+
+            if multi_fn is not None and it + chunk <= end:
+                self.state, metrics = multi_fn(self.state)
+                losses = np.asarray(metrics["loss"])
+                lrs = np.asarray(metrics["lr"])
+                for j in range(chunk):
+                    self.logger.log(it + j, {f"loss/{mode}": losses[j],
+                                             f"lr/{mode}": lrs[j]})
+                it += chunk
+                metrics = {**metrics, "loss": losses[-1]}
             else:
-                self.state, metrics = step_fn(self.state)
-            self.logger.log(it, {f"loss/{mode}": metrics["loss"],
-                                 f"lr/{mode}": metrics["lr"]})
-            if (it + 1) % cfg.step == 0:
-                loss = float(metrics["loss"])
+                if feeder is not None:
+                    rows, cols, rgb, pose, pic = feeder.next()
+                    batch = RayBatch(
+                        rows=jnp.asarray(rows), cols=jnp.asarray(cols),
+                        rgb=jnp.asarray(rgb), pose17=jnp.asarray(pose),
+                        pic=jnp.asarray(pic))
+                    self.state, metrics = step_fn(self.state, batch)
+                else:
+                    self.state, metrics = step_fn(self.state)
+                self.logger.log(it, {f"loss/{mode}": metrics["loss"],
+                                     f"lr/{mode}": metrics["lr"]})
+                it += 1
+
+            if it % cfg.step == 0:
+                loss = float(np.asarray(metrics["loss"]))
                 c_t = np.asarray(metrics["c_true0"])
                 c_f = np.asarray(metrics["c_fine0"])
                 rate = cfg.step * cfg.batch_ray / (time.perf_counter() - t0)
-                print(f"[ITER] {it} [LOSS] {loss:.4f} "
+                print(f"[ITER] {it - 1} [LOSS] {loss:.4f} "
                       f"[T] ({c_t[0]:.4f} {c_t[1]:.4f} {c_t[2]:.4f}) "
                       f"[F] ({c_f[0]:.4f} {c_f[1]:.4f} {c_f[2]:.4f}) "
                       f"[RAYS/S] {rate:,.0f}")
@@ -155,18 +183,26 @@ class Runner:
                                   metrics["rgb"], metrics["pic"])
                     os.makedirs(cfg.results_path, exist_ok=True)
                     canvas.save(os.path.join(
-                        cfg.results_path, f"{self.start_time}_{it}.jpg"))
+                        cfg.results_path, f"{self.start_time}_{it - 1}.jpg"))
                     ckpt.save_checkpoint(
-                        cfg.ckpt_path, self.start_time, it,
+                        cfg.ckpt_path, self.start_time, it - 1,
                         jax.device_get(self.state.params),
                         jax.device_get(self.state.opt))
-                    self.last_iter = it
+                    self.last_iter = it - 1
                 t0 = time.perf_counter()
         if profiling_until > 0:  # loop shorter than the trace window
             jax.profiler.stop_trace()
         if feeder is not None:
             feeder.close()
         self.logger.flush()
+
+    @staticmethod
+    def _chunk_size(step: int, cap: int = 200) -> int:
+        """Largest divisor of the logging cadence, capped (compile cost)."""
+        for c in range(min(step, cap), 0, -1):
+            if step % c == 0:
+                return c
+        return 1
 
     def display(self, max_views: Optional[int] = None) -> float:
         """Full-frame render of the test split -> JPGs + mp4; returns PSNR."""

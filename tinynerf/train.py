@@ -147,12 +147,35 @@ def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
 
 def make_multi_step(step_fn: Callable, unroll: int) -> Callable:
     """Fuse ``unroll`` train steps into one compiled program with lax.scan —
-    amortizes per-dispatch overhead for benchmarking and headless training."""
+    amortizes per-dispatch overhead for benchmarking and headless training.
+    Returns (state, losses (unroll,))."""
     def body(state, _):
         state, metrics = step_fn(state)  # jitted fns inline when traced
         return state, metrics["loss"]
 
     def multi(state):
         return jax.lax.scan(body, state, None, length=unroll)
+
+    return jax.jit(multi, donate_argnums=0)
+
+
+def make_chunked_step(step_fn: Callable, unroll: int) -> Callable:
+    """Like :func:`make_multi_step` but keeps the full metrics stream:
+    returns (state, metrics) where scalar metrics are stacked (unroll,) and
+    the preview-batch fields are those of the LAST step. This is what the
+    Runner's training loop uses — per-iteration logging fidelity at
+    one-dispatch-per-chunk cost."""
+    def body(state, _):
+        state, metrics = step_fn(state)
+        scalars = {"loss": metrics["loss"], "lr": metrics["lr"]}
+        last = {k: metrics[k]
+                for k in ("c_true0", "c_fine0", "rows", "cols", "rgb", "pic")}
+        return state, (scalars, last)
+
+    def multi(state):
+        state, (scalars, last) = jax.lax.scan(body, state, None, length=unroll)
+        # keep only the final step's batch fields
+        last = jax.tree_util.tree_map(lambda x: x[-1], last)
+        return state, {**scalars, **last}
 
     return jax.jit(multi, donate_argnums=0)
