@@ -93,6 +93,29 @@ def test_train_determinism(table):
     assert run() == run()
 
 
+def test_chunked_step_matches_loop(table):
+    cfg = _tiny_cfg()
+    k_inv = make_k_inv(table.height, table.width, table.focal)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    chunked = trainlib.make_chunked_step(step, unroll=4)
+
+    s_loop = trainlib.init_state(cfg)
+    loop_losses, loop_lrs = [], []
+    for _ in range(4):
+        s_loop, m = step(s_loop)
+        loop_losses.append(float(m["loss"]))
+        loop_lrs.append(float(m["lr"]))
+    last_rows = np.asarray(m["rows"])
+
+    s_chunk, metrics = chunked(trainlib.init_state(cfg))
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), loop_losses,
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(metrics["lr"]), loop_lrs, rtol=1e-6)
+    # preview fields are the LAST step's batch
+    np.testing.assert_array_equal(np.asarray(metrics["rows"]), last_rows)
+    assert int(s_chunk.iteration) == 4
+
+
 def test_multi_step_scan_matches_loop(table):
     cfg = _tiny_cfg()
     k_inv = make_k_inv(table.height, table.width, table.focal)
