@@ -90,6 +90,88 @@ def test_ray_loss_is_sum_not_mean():
     assert float(render.ray_loss(c, c, t)) == 24.0
 
 
+def test_merged_composite_equals_sorted_reference():
+    """The sort-free merged compositing must equal the explicit
+    sort -> diff -> density -> composite formulation, including ties."""
+    from tinynerf.core import sampling
+    rng = np.random.default_rng(0)
+    B, NC, NF = 5, 16, 24
+    t_co = np.sort(rng.uniform(2, 6, (B, NC)).astype(np.float32), axis=1)
+    t_fi = np.sort(rng.uniform(2, 6, (B, NF)).astype(np.float32), axis=1)
+    # cross-list tie that PRESERVES per-list sortedness (the pipeline's
+    # invariant): snap a fine sample to the nearest coarse value inside its
+    # neighbor window
+    j = np.searchsorted(t_co[0], t_fi[0, 3])
+    if j < NC and t_co[0, j] <= t_fi[0, 4]:
+        t_fi[0, 3] = t_co[0, j]
+    else:
+        t_co[0, j - 1] = t_fi[0, 3]
+    t_co[1, 5] = t_co[1, 6]   # within-list tie
+    assert np.all(np.diff(t_co, axis=1) >= 0)
+    assert np.all(np.diff(t_fi, axis=1) >= 0)
+    sigma_co = rng.uniform(0, 3, (B, NC)).astype(np.float32)
+    sigma_fi = rng.uniform(0, 3, (B, NF)).astype(np.float32)
+    color_co = rng.uniform(0, 1, (B, NC, 3)).astype(np.float32)
+    color_fi = rng.uniform(0, 1, (B, NF, 3)).astype(np.float32)
+
+    got = np.asarray(render.merged_composite(
+        jnp.asarray(t_co), jnp.asarray(t_fi), jnp.asarray(sigma_co),
+        jnp.asarray(sigma_fi), jnp.asarray(color_co), jnp.asarray(color_fi)))
+
+    # oracle: stable sort of the concatenation, then the sorted pipeline
+    t_all = np.concatenate([t_co, t_fi], axis=1)
+    sig = np.concatenate([sigma_co, sigma_fi], axis=1)
+    col = np.concatenate([color_co, color_fi], axis=1)
+    order = np.argsort(t_all, axis=1, kind="stable")
+    t_s = np.take_along_axis(t_all, order, axis=1)
+    sig_s = np.take_along_axis(sig, order, axis=1)
+    col_s = np.take_along_axis(col, order[..., None], axis=1)
+    delta = np.concatenate([np.diff(t_s, axis=1),
+                            np.full((B, 1), render.TAIL_DELTA)], axis=1)
+    sd = delta * sig_s
+    w = np.exp(-np.cumsum(sd, axis=1)) * (1 - np.exp(-sd))
+    want = np.sum(w[..., None] * col_s, axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_merged_composite_grads_match_sorted_path():
+    from tinynerf.core import sampling
+    rng = np.random.default_rng(1)
+    B, NC, NF = 3, 8, 12
+    t_co = jnp.asarray(np.sort(rng.uniform(2, 6, (B, NC)), axis=1),
+                       jnp.float32)
+    t_fi0 = np.sort(rng.uniform(2, 6, (B, NF)), axis=1).astype(np.float32)
+    sigma_co = jnp.asarray(rng.uniform(0, 2, (B, NC)), jnp.float32)
+    sigma_fi = jnp.asarray(rng.uniform(0, 2, (B, NF)), jnp.float32)
+    color_co = jnp.asarray(rng.uniform(0, 1, (B, NC, 3)), jnp.float32)
+    color_fi = jnp.asarray(rng.uniform(0, 1, (B, NF, 3)), jnp.float32)
+
+    def loss_new(t_fi, s_fi):
+        return jnp.sum(render.merged_composite(
+            t_co, t_fi, sigma_co, s_fi, color_co, color_fi))
+
+    def loss_old(t_fi, s_fi):
+        t_cat, ranks = sampling.merge_sorted_ts(t_co, t_fi)
+        col = jnp.concatenate([color_co, color_fi], axis=1)
+        sig = jnp.concatenate([sigma_co, s_fi], axis=1)
+        bundle = jnp.concatenate([t_cat[..., None], col, sig[..., None]],
+                                 axis=-1)
+        b = sampling.apply_ranks(ranks, bundle)
+        t_s, col_s, sig_s = b[..., 0], b[..., 1:4], b[..., 4]
+        delta = jnp.concatenate(
+            [t_s[:, 1:] - t_s[:, :-1],
+             jnp.full_like(t_s[:, :1], render.TAIL_DELTA)], axis=1)
+        return jnp.sum(render.composite(render.get_density(delta, sig_s),
+                                        col_s))
+
+    args = (jnp.asarray(t_fi0), sigma_fi)
+    g_new = jax.grad(loss_new, argnums=(0, 1))(*args)
+    g_old = jax.grad(loss_old, argnums=(0, 1))(*args)
+    for a, b in zip(g_new, g_old):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_compat_sort_flag_changes_result():
     params, rows, cols, pose17, k_inv = _tiny_setup()
     _, fixed = render.render_rays(params, rows, cols, pose17, k_inv, 8, 16,

@@ -62,6 +62,62 @@ def composite(weights: jnp.ndarray, color: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(weights[..., None] * color, axis=1)
 
 
+def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
+                     sigma_co: jnp.ndarray, sigma_fi: jnp.ndarray,
+                     color_co: jnp.ndarray, color_fi: jnp.ndarray,
+                     tail: float = TAIL_DELTA) -> jnp.ndarray:
+    """Composite the MERGED coarse+fine sample set without ever sorting.
+
+    Mathematically identical to sort-by-t -> diff -> inclusive-cumsum
+    density -> composite (the Q4-fixed combined pass), but exploits that both
+    lists are per-ray sorted: the merge is fully described by ONE
+    (B, N_c, N_f) compare matrix. Successors and cross-list prefix sums come
+    from small one-hot gathers; the compositing sum is order-independent.
+    This keeps the hot path off the (B, N, N) permutation masks of a
+    materialized sort — the compare/gather tensors here are ~8x smaller and
+    everything is compare + matmul (TPU-friendly; VJP has no scatters).
+
+    Tie-breaking matches a stable sort of concat([coarse, fine]): an equal-t
+    pair orders the coarse sample first.
+    """
+    # fewer[b, i, j] = fine_j strictly before coarse_i
+    fewer = (t_fi[:, None, :] < t_co[:, :, None]).astype(t_co.dtype)
+    c_cnt = jnp.sum(fewer, axis=2).astype(jnp.int32)        # (B, N_c)
+    # d[b, j] = #coarse <= fine_j  (ties put coarse first)
+    d_cnt = (t_co.shape[1]
+             - jnp.sum(fewer, axis=1).astype(jnp.int32))     # (B, N_f)
+
+    big = jnp.asarray(jnp.finfo(t_co.dtype).max, t_co.dtype)
+    inf_col = jnp.full_like(t_co[:, :1], big)
+    t_co_pad = jnp.concatenate([t_co, inf_col], axis=1)      # (B, N_c+1)
+    t_fi_pad = jnp.concatenate([t_fi, inf_col], axis=1)      # (B, N_f+1)
+
+    # merged successor of each sample: own next vs first cross-list sample
+    # at/after it
+    next_co = jnp.minimum(t_co_pad[:, 1:],
+                          sampling.onehot_gather(t_fi_pad, c_cnt))
+    next_fi = jnp.minimum(t_fi_pad[:, 1:],
+                          sampling.onehot_gather(t_co_pad, d_cnt))
+    # the globally last sample has no successor -> constant tail delta
+    # (reference nerf.py:286,315)
+    delta_co = jnp.where(next_co >= big, tail, next_co - t_co)
+    delta_fi = jnp.where(next_fi >= big, tail, next_fi - t_fi)
+
+    sd_co = sigma_co * delta_co
+    sd_fi = sigma_fi * delta_fi
+    own_co = sampling.matmul_cumsum(sd_co)                   # (B, N_c)
+    own_fi = sampling.matmul_cumsum(sd_fi)                   # (B, N_f)
+    zero = jnp.zeros_like(inf_col)
+    cross_co = sampling.onehot_gather(                       # fine mass before
+        jnp.concatenate([zero, own_fi], axis=1), c_cnt)      # coarse_i
+    cross_fi = sampling.onehot_gather(
+        jnp.concatenate([zero, own_co], axis=1), d_cnt)
+
+    w_co = jnp.exp(-(own_co + cross_co)) * (1.0 - jnp.exp(-sd_co))
+    w_fi = jnp.exp(-(own_fi + cross_fi)) * (1.0 - jnp.exp(-sd_fi))
+    return composite(w_co, color_co) + composite(w_fi, color_fi)
+
+
 def _eval_field(field_fn: FieldFn, params: mlp.Params, origins: jnp.ndarray,
                 dirs: jnp.ndarray, ts: jnp.ndarray,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -80,6 +136,7 @@ def render_rays(params: mlp.Params,
                 key: Optional[jax.Array] = None,
                 compat_sort: bool = False,
                 ndc_params: Optional[Tuple[float, float, float]] = None,
+                merge_impl: str = "permute",
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
 
@@ -90,6 +147,11 @@ def render_rays(params: mlp.Params,
     forward-facing scenes (an opt-in capability the reference lacks,
     SURVEY.md Q10/D1): rays are shifted to the near plane, warped into the
     [-1,1]^3 cube, and marched with t in [0, 1].
+
+    ``merge_impl`` picks the (numerically equivalent) combined-pass
+    implementation: "permute" (stable-rank one-hot permutation — cheaper
+    VJP, used for training) or "twolist" (sort-free two-sorted-lists merge —
+    cheaper forward, used for grad-free rendering).
     """
     origins, dirs, near, far = raylib.pixels_to_rays(rows, cols, pose17, k_inv)
     if ndc_params is not None:
@@ -114,29 +176,39 @@ def render_rays(params: mlp.Params,
     t_fi = sampling.resample(t_co, dense_co, delta_ray, n_fine)
     color_fi, sigma_fi = _eval_field(field_fn, params, origins, dirs, t_fi)
 
-    color_all = jnp.concatenate([color_co, color_fi], axis=1)
-    sigma_all = jnp.concatenate([sigma_co, sigma_fi], axis=1)
     if compat_sort:
         # reference defect Q4: each channel sorted independently (nerf.py:308)
+        color_all = jnp.concatenate([color_co, color_fi], axis=1)
+        sigma_all = jnp.concatenate([sigma_co, sigma_fi], axis=1)
         t_all = jnp.sort(jnp.concatenate([t_co, t_fi], axis=1), axis=1)
         color_s = jnp.sort(color_all, axis=1)
         sigma_s = jnp.sort(sigma_all, axis=1)
+        delta_all = jnp.concatenate(
+            [t_all[:, 1:] - t_all[:, :-1],
+             jnp.full_like(t_all[:, :1], TAIL_DELTA)], axis=1)
+        dense_all = get_density(delta_all, sigma_s)
+        c_fine = composite(dense_all, color_s)
+    elif merge_impl == "twolist":
+        # sort-free merged compositing over the two per-ray-sorted lists
+        c_fine = merged_composite(t_co, t_fi, sigma_co, sigma_fi,
+                                  color_co, color_fi)
     else:
         t_cat, ranks = sampling.merge_sorted_ts(t_co, t_fi)
         # permute (t, rgb, sigma) with ONE batched one-hot matmul so the
         # channels stay coupled (Q4 fix) and the MXU does a single pass
+        color_all = jnp.concatenate([color_co, color_fi], axis=1)
+        sigma_all = jnp.concatenate([sigma_co, sigma_fi], axis=1)
         bundle = jnp.concatenate(
             [t_cat[..., None], color_all, sigma_all[..., None]], axis=-1)
         bundle_s = sampling.apply_ranks(ranks, bundle)
         t_all = bundle_s[..., 0]
         color_s = bundle_s[..., 1:4]
         sigma_s = bundle_s[..., 4]
-
-    delta_all = jnp.concatenate(
-        [t_all[:, 1:] - t_all[:, :-1],
-         jnp.full_like(t_all[:, :1], TAIL_DELTA)], axis=1)
-    dense_all = get_density(delta_all, sigma_s)
-    c_fine = composite(dense_all, color_s)
+        delta_all = jnp.concatenate(
+            [t_all[:, 1:] - t_all[:, :-1],
+             jnp.full_like(t_all[:, :1], TAIL_DELTA)], axis=1)
+        dense_all = get_density(delta_all, sigma_s)
+        c_fine = composite(dense_all, color_s)
     return c_coarse, c_fine
 
 
