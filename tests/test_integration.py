@@ -65,6 +65,34 @@ def test_runner_resume(cfg):
     assert int(resumed.state.iteration) == 70
 
 
+def test_exact_resume_matches_uninterrupted(sync_scene_dir, tmp_path):
+    """Resume-from-checkpoint must continue the PRNG sample stream exactly:
+    60 iters + resume to 120 == one uninterrupted 120-iter run."""
+    def make_cfg(sub, total):
+        return Config(
+            img_dir=sync_scene_dir, results_path=str(tmp_path / sub / "r"),
+            ckpt_path=str(tmp_path / sub / "c"), log_dir=str(tmp_path / sub / "l"),
+            total_iter=total, step=30, batch_ray=32, n_coarse=4, n_fine=4,
+            learning=5e-3, use_pallas=False)
+
+    a = Runner(make_cfg("a", 60))
+    a.train("train")
+    cfg_resume = make_cfg("a", 120)
+    cfg_resume.continue_ = True
+    a2 = Runner(cfg_resume)
+    assert int(a2.state.iteration) == 60
+    a2.train("train")
+
+    b = Runner(make_cfg("b", 120))
+    b.train("train")
+
+    for pa, pb in zip(
+            __import__("jax").tree_util.tree_leaves(a2.state.params),
+            __import__("jax").tree_util.tree_leaves(b.state.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_runner_val_mode(cfg):
     runner = Runner(cfg)
     start = int(runner.state.iteration)

@@ -46,11 +46,13 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_checkpoint(path_dir: str, start_time: str, iteration: int,
-                    params: Any, opt_state=None) -> str:
+                    params: Any, opt_state=None, key=None) -> str:
     """Write ``<ckpt_path>/<start_time>_<iter>.npz``; returns the path."""
     os.makedirs(path_dir, exist_ok=True)
     path = os.path.join(path_dir, f"{start_time}_{iteration}.npz")
     blobs = {"iteration": np.asarray(iteration, np.int64)}
+    if key is not None:
+        blobs["prng_key"] = np.asarray(key)  # exact-resume sample stream
     for k, v in _flatten(params).items():
         blobs[f"params{_SEP}{k}"] = v
     if opt_state is not None:
@@ -64,11 +66,19 @@ def save_checkpoint(path_dir: str, start_time: str, iteration: int,
 
 
 def load_checkpoint(path: str) -> Tuple[int, Any, Optional[Any]]:
-    """Returns (iteration, params, adam_state_or_None)."""
+    """Returns (iteration, params, adam_state_or_None). Use
+    :func:`load_checkpoint_full` to also recover the PRNG key."""
+    return load_checkpoint_full(path)[:3]
+
+
+def load_checkpoint_full(path: str):
+    """Returns (iteration, params, adam_state_or_None, prng_key_or_None)."""
     from tinynerf.optim import AdamState
 
     with np.load(path) as archive:
         iteration = int(archive["iteration"])
+        prng_key = (jnp.asarray(archive["prng_key"])
+                    if "prng_key" in archive.files else None)
         params = _unflatten(
             {k[len(f"params{_SEP}"):]: archive[k]
              for k in archive.files if k.startswith(f"params{_SEP}")})
@@ -80,7 +90,7 @@ def load_checkpoint(path: str) -> Tuple[int, Any, Optional[Any]]:
                              for k in archive.files if k.startswith(f"nu{_SEP}")})
             opt_state = AdamState(count=jnp.asarray(archive["adam_count"]),
                                   mu=mu, nu=nu)
-    return iteration, params, opt_state
+    return iteration, params, opt_state, prng_key
 
 
 _ITER_RE = re.compile(r"_(\d+)\.npz$")

@@ -64,17 +64,20 @@ class Runner:
 
         # --- state (fresh or resumed-latest, reference nerf.py:402-420) ---
         self.last_iter = -1
-        params = opt_state = None
+        params = opt_state = saved_key = None
         if cfg.continue_:
             latest = ckpt.find_latest(cfg.ckpt_path)
             if latest is not None:
-                self.last_iter, params, opt_state = ckpt.load_checkpoint(latest)
+                (self.last_iter, params, opt_state,
+                 saved_key) = ckpt.load_checkpoint_full(latest)
                 print(f"Resumed from {latest} (iter {self.last_iter})")
         if self.last_iter < 0:
             print("New run created.")
         self.state = trainlib.init_state(
             cfg, params=params, opt_state=opt_state,
             iteration=self.last_iter + 1)
+        if saved_key is not None:  # exact-resume: continue the sample stream
+            self.state = self.state._replace(key=saved_key)
         if self.mesh is not None:
             self.state = meshlib.replicate_state(self.state, self.mesh)
 
@@ -187,7 +190,8 @@ class Runner:
                     ckpt.save_checkpoint(
                         cfg.ckpt_path, self.start_time, it - 1,
                         jax.device_get(self.state.params),
-                        jax.device_get(self.state.opt))
+                        jax.device_get(self.state.opt),
+                        key=jax.device_get(self.state.key))
                     self.last_iter = it - 1
                 t0 = time.perf_counter()
         if profiling_until > 0:  # loop shorter than the trace window

@@ -1,0 +1,126 @@
+"""Generate a Blender-format synthetic scene by analytic raytracing.
+
+Produces ``transforms_{train,val,test}.json`` + PNG renders of a simple
+volumetric scene (lambertian spheres on transparent background) in exactly
+the layout the reference loader expects (``loader.py:12-36``) — so the full
+training/eval pipeline can be exercised and CONVERGED end-to-end without any
+external dataset. A NeRF trained on this scene must reproduce held-out views
+(unlike the random-texture unit fixtures, which have no consistent 3D
+structure to learn).
+
+Usage:
+    python tools/make_synthetic_scene.py out_dir --hw 100 --views 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SPHERES = [
+    # (center, radius, albedo)
+    (np.array([0.0, 0.0, 0.0]), 0.9, np.array([0.85, 0.25, 0.20])),
+    (np.array([0.9, 0.6, -0.4]), 0.45, np.array([0.20, 0.55, 0.90])),
+    (np.array([-0.8, -0.5, 0.5]), 0.5, np.array([0.95, 0.80, 0.25])),
+]
+LIGHT_DIR = np.array([0.5, 1.0, 0.25]) / np.linalg.norm([0.5, 1.0, 0.25])
+CAMERA_ANGLE_X = 0.7
+RADIUS = 4.0
+
+
+def look_at(position: np.ndarray) -> np.ndarray:
+    back = position / np.linalg.norm(position)
+    up_hint = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up_hint, back)
+    right /= np.linalg.norm(right)
+    up = np.cross(back, right)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, back, position
+    return c2w
+
+
+def ray_sphere(origin, dirs, center, radius):
+    """First-hit distances (inf when missed). dirs (N,3) unit."""
+    oc = origin - center
+    b = dirs @ oc
+    c = oc @ oc - radius * radius
+    disc = b * b - c
+    hit = disc > 0
+    sqrt_d = np.sqrt(np.maximum(disc, 0.0))
+    t = -b - sqrt_d
+    t = np.where(hit & (t > 1e-3), t, np.inf)
+    return t
+
+
+def render_view(c2w: np.ndarray, hw: int) -> np.ndarray:
+    """(hw, hw, 4) uint8 RGBA, alpha=0 where no geometry (matching Blender
+    synthetic exports — the loader composites onto white)."""
+    focal = 0.5 * hw / np.tan(0.5 * CAMERA_ANGLE_X)
+    # the reference convention: row -> x, col -> y (Q12); render with the
+    # SAME convention so training reconstructs the observed images
+    rr, cc = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    x_c = rr.reshape(-1) - 0.5 * hw
+    y_c = -cc.reshape(-1) + 0.5 * hw
+    z_c = np.full_like(x_c, -focal, dtype=np.float64)
+    d_cam = np.stack([x_c, y_c, z_c], axis=1)
+    d_cam /= np.linalg.norm(d_cam, axis=1, keepdims=True)
+    d_world = d_cam @ c2w[:3, :3].T
+    origin = c2w[:3, 3]
+
+    best_t = np.full(hw * hw, np.inf)
+    color = np.zeros((hw * hw, 3))
+    for center, radius, albedo in SPHERES:
+        t = ray_sphere(origin, d_world, center, radius)
+        closer = t < best_t
+        if not closer.any():
+            continue
+        pts = origin + t[closer, None] * d_world[closer]
+        normals = (pts - center) / radius
+        lambert = np.clip(normals @ LIGHT_DIR, 0.0, 1.0)
+        color[closer] = albedo * (0.25 + 0.75 * lambert[:, None])
+        best_t = np.where(closer, t, best_t)
+
+    alpha = np.isfinite(best_t).astype(np.float64)
+    rgba = np.concatenate([color, alpha[:, None]], axis=1)
+    return (np.clip(rgba, 0, 1).reshape(hw, hw, 4) * 255).astype(np.uint8)
+
+
+def make_scene(out_dir: str, hw: int = 100, views: int = 30,
+               val_views: int = 5, test_views: int = 5) -> None:
+    rng = np.random.default_rng(0)
+    splits = {"train": views, "val": val_views, "test": test_views}
+    for mode, n in splits.items():
+        frames = []
+        img_dir = os.path.join(out_dir, mode)
+        os.makedirs(img_dir, exist_ok=True)
+        for i in range(n):
+            theta = 2 * np.pi * (i / n + (0.33 if mode == "val" else
+                                          0.71 if mode == "test" else 0.0))
+            elev = np.deg2rad(-25.0 + 10.0 * np.sin(2.1 * theta))
+            position = RADIUS * np.array([
+                np.sin(theta) * np.cos(elev), -np.sin(elev),
+                np.cos(theta) * np.cos(elev)])
+            c2w = look_at(position)
+            Image.fromarray(render_view(c2w, hw), "RGBA").save(
+                os.path.join(img_dir, f"r_{i}.png"))
+            frames.append({"file_path": f"./{mode}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{mode}.json"), "w") as f:
+            json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
+    print(f"wrote {sum(splits.values())} views at {hw}x{hw} -> {out_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("out_dir")
+    parser.add_argument("--hw", type=int, default=100)
+    parser.add_argument("--views", type=int, default=30)
+    args = parser.parse_args()
+    make_scene(args.out_dir, hw=args.hw, views=args.views)
