@@ -45,6 +45,10 @@ SKIP = 4
 # used by the CPU test suite; on TPU leave False for compiled Mosaic.
 INTERPRET = False
 
+# Mosaic's default 16 MB scoped-VMEM cap rejects the larger (faster) tiles;
+# v5e admits far more. 110 MB measured working on v5e-1.
+_VMEM_LIMIT = 110 * 1024 * 1024
+
 # ----------------------------------------------------------------------------
 # host-side constants: frequency selector matrices and layout permutations
 # ----------------------------------------------------------------------------
@@ -236,6 +240,8 @@ def _fused_forward(packed, points, dirs, tile: int = 512,
             flops=_flops_per_row() * R,
             bytes_accessed=R * (6 + 4) * 4 + 600_000 * 2,
             transcendentals=R * (3 * (L_POINT + L_DIR) * 2 + 4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
     )(points, dirs, *sels, *w_ops, *b_ops)
     return out
@@ -395,6 +401,8 @@ def _fused_backward(packed, points, dirs, g, tile: int = 256,
             flops=3 * _flops_per_row() * R,
             bytes_accessed=R * 14 * 4 + 600_000 * 6,
             transcendentals=R * (3 * (L_POINT + L_DIR) * 2 + 4)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=INTERPRET,
     )(points, dirs, g, *sels, *w_ops, *b_ops)
 
@@ -430,8 +438,8 @@ def _tile_fwd(dtype):
 
 
 def _tile_bwd(dtype):
-    # f32 + Precision.HIGHEST needs extra MXU scratch; stay under 16 MB VMEM
-    return 128 if dtype == jnp.float32 else 512
+    # f32 + Precision.HIGHEST needs extra MXU scratch
+    return 128 if dtype == jnp.float32 else 1024
 
 
 def _pad_rows(x, tile):
