@@ -138,6 +138,26 @@ def test_sharded_render_equals_unsharded(setup):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_sharded_frame_fn_equals_unsharded(setup):
+    """Mesh-sharded whole-frame render (pod-scale eval path) must equal the
+    single-device frame render."""
+    from tinynerf import eval as evallib
+    table, k_inv = setup
+    cfg = _cfg(render_chunk=48)
+    state = trainlib.init_state(cfg)
+    pose = jnp.asarray(np.asarray(table.poses)[0])
+
+    plain_fn = evallib.make_frame_fn(cfg, k_inv, table.height, table.width)
+    mesh = meshlib.make_mesh(8)
+    shard_fn = evallib.make_frame_fn(
+        cfg, k_inv, table.height, table.width,
+        batch_sharding=meshlib.batch_sharding(mesh))
+    plain = np.asarray(plain_fn(state.params, pose))
+    sharded = np.asarray(shard_fn(
+        meshlib.replicate_state(state, mesh).params, pose))
+    np.testing.assert_allclose(sharded, plain, rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_sample_axis_prefix_scan_matches_cumsum(n_dev):
     """The SP-analog: sample-axis-sharded density == single-device density."""

@@ -44,18 +44,25 @@ def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
 
 
 def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
-                  field_fn=None, ndc_params=None):
+                  field_fn=None, ndc_params=None, batch_sharding=None):
     """Whole-frame renderer: ONE jitted dispatch per view.
 
     The pixel grid is marched with an on-device ``lax.map`` over fixed-size
     chunks (bounding peak activation memory) instead of a host loop — a
     full 800x800 view is a single XLA program, so per-dispatch latency is
-    paid once per frame, not once per 4096-pixel chunk."""
+    paid once per frame, not once per 4096-pixel chunk.
+
+    With ``batch_sharding`` (a NamedSharding over the ray axis) each chunk is
+    partitioned across the mesh — the pod-scale eval path: devices march
+    disjoint pixel spans and XLA gathers the tiles (SURVEY.md §2.17)."""
     if field_fn is None:
         from tinynerf.train import make_field_fn
         field_fn = make_field_fn(cfg)
     num_pix = height * width
     chunk = min(cfg.render_chunk, num_pix)
+    if batch_sharding is not None:
+        n_dev = len(batch_sharding.mesh.devices.flatten())
+        chunk = -(-chunk // n_dev) * n_dev  # divisible by mesh size
     n_chunks = -(-num_pix // chunk)
     padded = n_chunks * chunk
 
@@ -71,6 +78,9 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
 
         def one_chunk(rc):
             r, c = rc
+            if batch_sharding is not None:
+                r = jax.lax.with_sharding_constraint(r, batch_sharding)
+                c = jax.lax.with_sharding_constraint(c, batch_sharding)
             _, c_fine = render.render_rays(
                 params, r, c, pose, k_inv, cfg.n_coarse, cfg.n_fine,
                 field_fn=field_fn, compat_sort=cfg.compat_sort,
@@ -115,12 +125,13 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
                     k_inv: jnp.ndarray, start_time: str,
                     last_iter: int, field_fn=None,
                     save: bool = True, max_views: Optional[int] = None,
-                    ndc_params=None) -> np.ndarray:
+                    ndc_params=None, batch_sharding=None) -> np.ndarray:
     """Render every view of ``table`` in order; optionally write per-view JPGs
     under ``results_path/<start_time>/`` and an mp4 at 30 fps (reference
     ``nerf.py:523-530``). Returns the (N, H, W, 3) stack."""
     frame_fn = make_frame_fn(cfg, k_inv, table.height, table.width,
-                             field_fn=field_fn, ndc_params=ndc_params)
+                             field_fn=field_fn, ndc_params=ndc_params,
+                             batch_sharding=batch_sharding)
     n_views = table.num_pics if max_views is None else min(max_views, table.num_pics)
     frames = np.empty((n_views, table.height, table.width, 3), np.float32)
     poses = np.asarray(table.poses)

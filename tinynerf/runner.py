@@ -214,7 +214,7 @@ class Runner:
         frames = evallib.render_test_set(
             self.cfg, self.state.params, self.test_table, self.k_inv,
             self.start_time, self.last_iter, save=True, max_views=max_views,
-            ndc_params=self.ndc_params)
+            ndc_params=self.ndc_params, batch_sharding=self.batch_sharding)
         score = evallib.test_psnr(frames, self.test_table)
         print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views")
         return score
