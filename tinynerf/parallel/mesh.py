@@ -18,7 +18,6 @@ mesh construction; both paths below are host-count agnostic.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
