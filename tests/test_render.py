@@ -172,6 +172,26 @@ def test_merged_composite_grads_match_sorted_path():
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_white_bkgd_term():
+    """Empty rays (sigma ~ 0) composite to white with white_bkgd=True and to
+    black without — and both merge implementations agree."""
+    params, rows, cols, pose17, k_inv = _tiny_setup()
+    # zero out the sigma head so all density ~ |bias|
+    params = dict(params)
+    params["sigma"] = {"w": jnp.zeros_like(params["sigma"]["w"]),
+                      "b": jnp.zeros_like(params["sigma"]["b"])}
+    _, black = render.render_rays(params, rows, cols, pose17, k_inv, 4, 4,
+                                  white_bkgd=False)
+    _, white_p = render.render_rays(params, rows, cols, pose17, k_inv, 4, 4,
+                                    white_bkgd=True, merge_impl="permute")
+    _, white_t = render.render_rays(params, rows, cols, pose17, k_inv, 4, 4,
+                                    white_bkgd=True, merge_impl="twolist")
+    np.testing.assert_allclose(np.asarray(black), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(white_p), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(white_t), np.asarray(white_p),
+                               atol=1e-5)
+
+
 def test_compat_sort_flag_changes_result():
     params, rows, cols, pose17, k_inv = _tiny_setup()
     _, fixed = render.render_rays(params, rows, cols, pose17, k_inv, 8, 16,

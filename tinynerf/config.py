@@ -62,6 +62,7 @@ class Config:
     pixel_dtype: str = "f32"          # "f32" | "u8" HBM pixel table storage
     host_feed: bool = False           # C++ host prefetcher instead of HBM table
     profile_steps: int = 0            # capture a jax trace of N initial steps
+    white_bkgd: bool = False          # standard NeRF white-background term (opt-in)
 
     @property
     def total_samples(self) -> int:
@@ -73,7 +74,7 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "PROFILE_STEPS"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
-              "HOST_FEED"}
+              "HOST_FEED", "WHITE_BKGD"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -87,7 +88,7 @@ _KEY_TO_FIELD = {
     "MESH_SHAPE": "mesh_shape", "LOG_DIR": "log_dir",
     "RENDER_CHUNK": "render_chunk",
     "PIXEL_DTYPE": "pixel_dtype", "HOST_FEED": "host_feed",
-    "PROFILE_STEPS": "profile_steps",
+    "PROFILE_STEPS": "profile_steps", "WHITE_BKGD": "white_bkgd",
 }
 
 

@@ -65,7 +65,8 @@ def composite(weights: jnp.ndarray, color: jnp.ndarray) -> jnp.ndarray:
 def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
                      sigma_co: jnp.ndarray, sigma_fi: jnp.ndarray,
                      color_co: jnp.ndarray, color_fi: jnp.ndarray,
-                     tail: float = TAIL_DELTA) -> jnp.ndarray:
+                     tail: float = TAIL_DELTA,
+                     white_bkgd: bool = False) -> jnp.ndarray:
     """Composite the MERGED coarse+fine sample set without ever sorting.
 
     Mathematically identical to sort-by-t -> diff -> inclusive-cumsum
@@ -115,7 +116,11 @@ def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
 
     w_co = jnp.exp(-(own_co + cross_co)) * (1.0 - jnp.exp(-sd_co))
     w_fi = jnp.exp(-(own_fi + cross_fi)) * (1.0 - jnp.exp(-sd_fi))
-    return composite(w_co, color_co) + composite(w_fi, color_fi)
+    out = composite(w_co, color_co) + composite(w_fi, color_fi)
+    if white_bkgd:
+        out = out + (1.0 - jnp.sum(w_co, axis=1)
+                     - jnp.sum(w_fi, axis=1))[:, None]
+    return out
 
 
 def _eval_field(field_fn: FieldFn, params: mlp.Params, origins: jnp.ndarray,
@@ -137,6 +142,7 @@ def render_rays(params: mlp.Params,
                 compat_sort: bool = False,
                 ndc_params: Optional[Tuple[float, float, float]] = None,
                 merge_impl: str = "permute",
+                white_bkgd: bool = False,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
 
@@ -152,6 +158,12 @@ def render_rays(params: mlp.Params,
     implementation: "permute" (stable-rank one-hot permutation — cheaper
     VJP, used for training) or "twolist" (sort-free two-sorted-lists merge —
     cheaper forward, used for grad-free rendering).
+
+    ``white_bkgd`` adds the standard NeRF white-background term
+    ``C += (1 - sum_i w_i)`` — an opt-in upgrade the reference lacks: without
+    it, white-composited Blender scenes force the network to fabricate
+    white-emitting density along empty rays, which projects as floaters from
+    novel views (SURVEY.md §2.7 notes the absence).
     """
     origins, dirs, near, far = raylib.pixels_to_rays(rows, cols, pose17, k_inv)
     if ndc_params is not None:
@@ -168,6 +180,8 @@ def render_rays(params: mlp.Params,
     delta_co = jnp.broadcast_to(delta_ray[:, None], t_co.shape)
     dense_co = get_density(delta_co, sigma_co)
     c_coarse = composite(dense_co, color_co)
+    if white_bkgd:
+        c_coarse = c_coarse + (1.0 - jnp.sum(dense_co, axis=1))[:, None]
 
     if n_fine == 0:
         return c_coarse, c_coarse
@@ -191,7 +205,8 @@ def render_rays(params: mlp.Params,
     elif merge_impl == "twolist":
         # sort-free merged compositing over the two per-ray-sorted lists
         c_fine = merged_composite(t_co, t_fi, sigma_co, sigma_fi,
-                                  color_co, color_fi)
+                                  color_co, color_fi,
+                                  white_bkgd=white_bkgd)
     else:
         t_cat, ranks = sampling.merge_sorted_ts(t_co, t_fi)
         # permute (t, rgb, sigma) with ONE batched one-hot matmul so the
@@ -209,6 +224,8 @@ def render_rays(params: mlp.Params,
              jnp.full_like(t_all[:, :1], TAIL_DELTA)], axis=1)
         dense_all = get_density(delta_all, sigma_s)
         c_fine = composite(dense_all, color_s)
+        if white_bkgd:
+            c_fine = c_fine + (1.0 - jnp.sum(dense_all, axis=1))[:, None]
     return c_coarse, c_fine
 
 

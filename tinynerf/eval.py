@@ -37,7 +37,8 @@ def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
         _, c_fine = render.render_rays(
             params, rows, cols, pose17, k_inv, cfg.n_coarse, cfg.n_fine,
             field_fn=field_fn, compat_sort=cfg.compat_sort,
-            ndc_params=ndc_params, merge_impl="twolist")
+            ndc_params=ndc_params, merge_impl="twolist",
+            white_bkgd=cfg.white_bkgd)
         return c_fine
 
     return jax.jit(render_chunk)
@@ -84,7 +85,8 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
             _, c_fine = render.render_rays(
                 params, r, c, pose, k_inv, cfg.n_coarse, cfg.n_fine,
                 field_fn=field_fn, compat_sort=cfg.compat_sort,
-                ndc_params=ndc_params, merge_impl="twolist")
+                ndc_params=ndc_params, merge_impl="twolist",
+                white_bkgd=cfg.white_bkgd)
             return c_fine
 
         out = jax.lax.map(one_chunk, (rows_d, cols_d))  # (n_chunks, chunk, 3)

@@ -72,7 +72,8 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             params, batch.rows, batch.cols, batch.pose17, k_inv,
             cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
             key=key if cfg.stratified else None,
-            compat_sort=cfg.compat_sort, ndc_params=ndc_params)
+            compat_sort=cfg.compat_sort, ndc_params=ndc_params,
+            white_bkgd=cfg.white_bkgd)
         return render.ray_loss(c_co, c_fi, batch.rgb), (c_co, c_fi)
 
     return loss_fn

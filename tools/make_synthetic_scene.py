@@ -92,6 +92,37 @@ def render_view(c2w: np.ndarray, hw: int) -> np.ndarray:
     return (np.clip(rgba, 0, 1).reshape(hw, hw, 4) * 255).astype(np.uint8)
 
 
+def make_llff_scene(out_dir: str, hw: int = 100, views: int = 20) -> None:
+    """Forward-facing variant in the LLFF on-disk layout: ``images/`` +
+    ``poses_bounds.npy`` with the [down, right, back] disk basis the loader
+    converts via (col1, -col0, col2) (reference ``loader.py:49-50``).
+    Composites onto white (llff ingest has no alpha path)."""
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    focal = 0.5 * hw / np.tan(0.5 * CAMERA_ANGLE_X)
+    rng = np.random.default_rng(3)
+    rows = np.zeros((views, 17))
+    for i in range(views):
+        position = np.array([0.35 * rng.normal(), 0.2 * rng.normal(),
+                             RADIUS + 0.15 * rng.normal()])
+        c2w = look_at(position)
+        rgba = render_view(c2w, hw).astype(np.float64) / 255.0
+        rgb = rgba[..., :3] * rgba[..., 3:] + (1.0 - rgba[..., 3:])
+        Image.fromarray((rgb * 255).astype(np.uint8), "RGB").save(
+            os.path.join(img_dir, f"img_{i}.png"))
+        # store in the LLFF disk basis (inverse of the loader's shuffle)
+        rot = c2w[:3, :3]
+        disk_rot = np.stack([-rot[:, 1], rot[:, 0], rot[:, 2]], axis=1)
+        pose = np.concatenate(
+            [np.concatenate([disk_rot, c2w[:3, 3:4]], axis=1),
+             np.array([[hw], [hw], [focal]])], axis=1)
+        near = float(np.linalg.norm(position)) - 2.0
+        far = float(np.linalg.norm(position)) + 2.0
+        rows[i] = np.concatenate([pose.flatten(), [near, far]])
+    np.save(os.path.join(out_dir, "poses_bounds.npy"), rows)
+    print(f"wrote {views} llff views at {hw}x{hw} -> {out_dir}")
+
+
 def make_scene(out_dir: str, hw: int = 100, views: int = 30,
                val_views: int = 5, test_views: int = 5) -> None:
     rng = np.random.default_rng(0)
@@ -122,5 +153,10 @@ if __name__ == "__main__":
     parser.add_argument("out_dir")
     parser.add_argument("--hw", type=int, default=100)
     parser.add_argument("--views", type=int, default=30)
+    parser.add_argument("--format", type=str, default="sync",
+                        choices=["sync", "llff"])
     args = parser.parse_args()
-    make_scene(args.out_dir, hw=args.hw, views=args.views)
+    if args.format == "llff":
+        make_llff_scene(args.out_dir, hw=args.hw, views=args.views)
+    else:
+        make_scene(args.out_dir, hw=args.hw, views=args.views)
