@@ -56,6 +56,27 @@ def test_low_res_downsampling(sync_scene_dir):
     np.testing.assert_allclose(scene.focal, full.focal / 2, rtol=1e-5)
 
 
+def test_recenter_and_rescale():
+    from tinynerf.data.poses import recenter_and_rescale
+    from tests.test_paths import _forward_facing_rows
+    rows = _forward_facing_rows(6)
+    out = recenter_and_rescale(rows, bd_factor=0.75)
+    c2ws = out[:, :15].reshape(-1, 3, 5)
+    # cameras now cluster around the origin looking down -z (back ~ +z)
+    centers = c2ws[:, :, 3]
+    assert np.linalg.norm(centers.mean(axis=0)) < 0.5
+    np.testing.assert_allclose(c2ws[:, :, 2].mean(axis=0), [0, 0, 1],
+                               atol=0.15)
+    # nearest bound scaled to 1/bd_factor
+    np.testing.assert_allclose(out[:, 15].min(), 1.0 / 0.75, rtol=1e-5)
+    # rotations stay orthonormal; hwf column untouched
+    rots = c2ws[:, :, :3]
+    eye = np.einsum("nij,nik->njk", rots, rots)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (6, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(c2ws[:, :, 4], rows[:, :15].reshape(-1, 3, 5)[:, :, 4],
+                               rtol=1e-6)
+
+
 def test_file_sort_is_numeric(tmp_path):
     d = tmp_path / "imgs"
     d.mkdir()

@@ -35,6 +35,11 @@ class Runner:
 
         # --- data (host ingest -> HBM tables, or host-side for big scenes) ---
         train_scene = load_scene(cfg.img_dir, cfg.data_type, "train", cfg.low_res)
+        if cfg.ndc and cfg.data_type == "llff":
+            # NDC needs LLFF-standard recentered/rescaled poses (poses.py)
+            from tinynerf.data.poses import recenter_and_rescale
+            train_scene.poses_bounds = recenter_and_rescale(
+                train_scene.poses_bounds)
         table_kw = dict(pixel_dtype=cfg.pixel_dtype,
                         device_pixels=not cfg.host_feed)
         self.train_table = RayTable(train_scene, **table_kw)
