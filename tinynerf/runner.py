@@ -139,6 +139,11 @@ class Runner:
         multi_fn = (trainlib.make_chunked_step(step_fn, chunk)
                     if chunked and chunk > 1 else None)
 
+        try:  # reference-style progress bar (nerf.py:458)
+            from tqdm import tqdm
+            bar = tqdm(total=end - start, unit="it", dynamic_ncols=True)
+        except ImportError:
+            bar = None
         t0 = time.perf_counter()
         it = start
         while it < end:
@@ -162,6 +167,8 @@ class Runner:
                                              f"lr/{mode}": lrs[j]})
                 it += chunk
                 metrics = {**metrics, "loss": losses[-1]}
+                if bar is not None:
+                    bar.update(chunk)
             else:
                 if feeder is not None:
                     rows, cols, rgb, pose, pic = feeder.next()
@@ -175,6 +182,8 @@ class Runner:
                 self.logger.log(it, {f"loss/{mode}": metrics["loss"],
                                      f"lr/{mode}": metrics["lr"]})
                 it += 1
+                if bar is not None:
+                    bar.update(1)
 
             if it % cfg.step == 0:
                 loss = float(np.asarray(metrics["loss"]))
@@ -199,6 +208,8 @@ class Runner:
                         key=jax.device_get(self.state.key))
                     self.last_iter = it - 1
                 t0 = time.perf_counter()
+        if bar is not None:
+            bar.close()
         if profiling_until > 0:  # loop shorter than the trace window
             jax.profiler.stop_trace()
         if feeder is not None:
