@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -56,9 +57,13 @@ def main() -> None:
     backend = jax.default_backend()
     print(f"backend={backend} devices={jax.devices()}", file=sys.stderr)
 
+    # fresh entropy per process: the remote execution tunnel caches
+    # content-identical dispatches across processes, so a deterministic seed
+    # can make repeat bench invocations report cache-served (fake) times
+    seed = int.from_bytes(os.urandom(4), "little")
     cfg = Config(batch_ray=args.batch, n_coarse=args.coarse,
                  n_fine=args.fine, precision=args.precision,
-                 use_pallas=not args.no_pallas)
+                 use_pallas=not args.no_pallas, seed=seed)
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)
@@ -112,12 +117,30 @@ def main() -> None:
     state, losses = multi(state)
     jax.block_until_ready(losses)
 
-    times = []
-    for _ in range(args.rounds):
-        t0 = time.perf_counter()
+    def timed_rounds(state):
+        times = []
+        for _ in range(args.rounds):
+            t0 = time.perf_counter()
+            state, losses = multi(state)
+            jax.block_until_ready(losses)
+            times.append(time.perf_counter() - t0)
+        return state, times, losses
+
+    state, times, losses = timed_rounds(state)
+    # plausibility guard: ~560 MFLOP/ray fwd+bwd caps any real chip far
+    # below 1e6 rays/s — faster readings mean the remote tunnel served a
+    # cached execution; retry with a fresh PRNG stream
+    for _ in range(2):
+        if args.batch * args.unroll / min(times) < 1e6:
+            break
+        print("implausibly fast round (cache hit?) — retrying",
+              file=sys.stderr)
+        state = trainlib.init_state(
+            cfg, key=jax.random.PRNGKey(
+                int.from_bytes(os.urandom(4), "little")))
         state, losses = multi(state)
         jax.block_until_ready(losses)
-        times.append(time.perf_counter() - t0)
+        state, times, losses = timed_rounds(state)
 
     best = min(times)
     rays_per_sec = args.batch * args.unroll / best
