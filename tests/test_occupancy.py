@@ -1,0 +1,100 @@
+"""Occupancy-grid empty-space skipping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tinynerf import train as trainlib
+from tinynerf.config import Config
+from tinynerf.core import occupancy, render
+from tinynerf.core.rays import make_k_inv
+from tinynerf.data.poses import load_scene
+from tinynerf.data.rays import RayTable
+
+
+def _sphere_field(center=(0.0, 0.0, 0.0), radius=0.5, sigma=5.0):
+    """Analytic field: constant density inside a sphere, white color."""
+    center = jnp.asarray(center)
+
+    def field(params, points, dirs):
+        dist = jnp.linalg.norm(points - center, axis=-1, keepdims=True)
+        s = jnp.where(dist < radius, sigma, 0.0)
+        color = jnp.ones(points.shape[:-1] + (3,))
+        return color, s
+
+    return field
+
+
+def test_grid_update_marks_sphere():
+    grid = occupancy.init_grid(resolution=16, half_extent=1.0)
+    grid = occupancy.update_grid(grid, None, _sphere_field(),
+                                 jax.random.PRNGKey(0), ema=0.0)
+    centers = np.asarray(occupancy.cell_centers(16, grid.half_extent))
+    occ = np.asarray(grid.density.reshape(-1) > float(grid.threshold))
+    # clearly-inside cells occupied; clearly-outside cells (beyond the
+    # 1-cell dilation margin) empty
+    assert occ[np.linalg.norm(centers, axis=1) < 0.35].all()
+    assert not occ[np.linalg.norm(centers, axis=1) > 0.95].any()
+
+
+def test_tighten_bounds_hits_and_misses():
+    grid = occupancy.init_grid(resolution=16, half_extent=1.0)
+    grid = occupancy.update_grid(grid, None, _sphere_field(),
+                                 jax.random.PRNGKey(0), ema=0.0)
+    # ray through the center from z=+4 looking -z: sphere span t in [3.5, 4.5]
+    origins = jnp.array([[0.0, 0.0, 4.0], [0.0, 3.0, 4.0]])
+    dirs = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    near = jnp.array([2.0, 2.0])
+    far = jnp.array([6.0, 6.0])
+    new_near, new_far = occupancy.tighten_bounds(grid, origins, dirs,
+                                                 near, far)
+    assert 3.1 < float(new_near[0]) <= 3.52
+    assert 4.48 <= float(new_far[0]) < 4.9
+    # miss ray collapses near the far plane
+    assert float(new_near[1]) > 5.9
+
+
+def test_init_grid_is_fully_occupied_until_first_update():
+    # inf-initialized density -> tighten is a (near, far) no-op: safe warmup
+    grid = occupancy.init_grid(resolution=8, half_extent=1.0)
+    origins = jnp.array([[0.0, 0.0, 4.0]])
+    dirs = jnp.array([[0.0, 0.0, -1.0]])
+    near, far = jnp.array([3.0]), jnp.array([5.0])
+    n2, f2 = occupancy.tighten_bounds(grid, origins, dirs, near, far)
+    assert float(n2[0]) <= 3.0 + 1e-5 and float(f2[0]) >= 5.0 - 1e-5
+
+
+def test_render_with_occ_grid_matches_without_when_fully_occupied():
+    from tests.test_rays import _pose17
+    from tinynerf.core import mlp
+    params = mlp.init_network(jax.random.PRNGKey(0))
+    k_inv = make_k_inv(8.0, 8.0, 10.0)
+    pose = jnp.asarray(np.tile(_pose17(np.eye(4), 8, 8, 10.0, 2.0, 6.0),
+                               (4, 1)))
+    rows = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0], np.float32))
+    cols = jnp.asarray(np.array([4.0, 3.0, 2.0, 1.0], np.float32))
+    grid = occupancy.init_grid(resolution=8, half_extent=10.0)  # inf = all occ
+    base = render.render_rays(params, rows, cols, pose, k_inv, 8, 8)
+    with_occ = render.render_rays(params, rows, cols, pose, k_inv, 8, 8,
+                                  occ_grid=grid)
+    np.testing.assert_allclose(np.asarray(with_occ[1]), np.asarray(base[1]),
+                               atol=1e-5)
+
+
+def test_train_step_with_occ_grid(sync_scene_dir):
+    cfg = Config(batch_ray=16, n_coarse=4, n_fine=4, use_pallas=False,
+                 occ_grid=True, occ_res=8, occ_extent=2.0,
+                 occ_update_every=2, white_bkgd=True)
+    table = RayTable(load_scene(sync_scene_dir, "sync", "train"))
+    k_inv = make_k_inv(table.height, table.width, table.focal)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    assert state.occ is not None
+    dens0 = np.asarray(state.occ.density).copy()
+    for _ in range(3):
+        state, m = step(state)
+        assert np.isfinite(float(m["loss"]))
+    # the grid was refreshed in-graph (iteration 0 and 2 are refresh steps)
+    assert not np.array_equal(np.asarray(state.occ.density), dens0)
+    assert np.isfinite(np.asarray(state.occ.density)).all()

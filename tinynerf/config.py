@@ -63,6 +63,11 @@ class Config:
     host_feed: bool = False           # C++ host prefetcher instead of HBM table
     profile_steps: int = 0            # capture a jax trace of N initial steps
     white_bkgd: bool = False          # standard NeRF white-background term (opt-in)
+    occ_grid: bool = False            # occupancy-grid empty-space skipping
+    occ_res: int = 64                 # occupancy grid resolution per axis
+    occ_extent: float = 1.5           # grid half-extent (world units)
+    occ_thresh: float = 0.01          # sigma cutoff for "occupied"
+    occ_update_every: int = 256       # grid EMA refresh cadence (steps)
 
     @property
     def total_samples(self) -> int:
@@ -71,10 +76,10 @@ class Config:
 
 _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
-             "PROFILE_STEPS"}
-_FLOAT_KEYS = {"LEARNING", "LR_GAMMA"}
+             "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY"}
+_FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
-              "HOST_FEED", "WHITE_BKGD"}
+              "HOST_FEED", "WHITE_BKGD", "OCC_GRID"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -89,6 +94,8 @@ _KEY_TO_FIELD = {
     "RENDER_CHUNK": "render_chunk",
     "PIXEL_DTYPE": "pixel_dtype", "HOST_FEED": "host_feed",
     "PROFILE_STEPS": "profile_steps", "WHITE_BKGD": "white_bkgd",
+    "OCC_GRID": "occ_grid", "OCC_RES": "occ_res", "OCC_EXTENT": "occ_extent",
+    "OCC_THRESH": "occ_thresh", "OCC_UPDATE_EVERY": "occ_update_every",
 }
 
 

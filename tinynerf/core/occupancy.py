@@ -1,0 +1,111 @@
+"""Occupancy-grid empty-space skipping (opt-in acceleration).
+
+A NerfAcc-style coarse density grid (cf. PAPERS.md: "NerfAcc: Efficient
+Sampling Accelerates NeRFs"), adapted to TPU constraints: instead of
+compacting samples into dynamic-length segments (shape-dynamic, hostile to
+XLA), the grid TIGHTENS each ray's [near, far] interval to the span of
+occupied cells it crosses — sample counts stay static, but the same 64+128
+samples concentrate on occupied space, buying reconstruction quality at
+identical cost.
+
+Everything is static-shape jnp: the grid update is one field evaluation over
+the cell centers; the per-ray tightening is a fixed-step DDA-style march of
+compares and min/max reductions. Rays that miss all occupied cells collapse
+to an empty interval and composite to the background — which is why this
+feature requires ``WHITE_BKGD = True`` for white-composited scenes (enforced
+in the Runner).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OccGrid(NamedTuple):
+    density: jnp.ndarray   # (R, R, R) EMA of field sigma at cell centers
+    half_extent: jnp.ndarray  # scalar: grid spans [-h, h]^3
+    threshold: jnp.ndarray    # occupancy cutoff on sigma
+
+
+def init_grid(resolution: int = 64, half_extent: float = 1.5,
+              threshold: float = 0.01) -> OccGrid:
+    return OccGrid(
+        density=jnp.full((resolution,) * 3, jnp.inf, jnp.float32),
+        half_extent=jnp.asarray(half_extent, jnp.float32),
+        threshold=jnp.asarray(threshold, jnp.float32))
+
+
+def cell_centers(resolution: int, half_extent: jnp.ndarray) -> jnp.ndarray:
+    """(R^3, 3) cell-center coordinates."""
+    lin = (jnp.arange(resolution, dtype=jnp.float32) + 0.5) / resolution
+    lin = (lin * 2.0 - 1.0)
+    gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * half_extent
+
+
+def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
+                ema: float = 0.8, chunk: int = 65536) -> OccGrid:
+    """EMA-update the grid from the current field (one jittered sample per
+    cell). Cost: R^3 field evals — 262k for R=64, a fraction of one train
+    step."""
+    res = grid.density.shape[0]
+    centers = cell_centers(res, grid.half_extent)
+    cell = 2.0 * grid.half_extent / res
+    jitter = (jax.random.uniform(key, centers.shape) - 0.5) * cell
+    pts = centers + jitter
+
+    def eval_chunk(p):
+        _c, sigma = field_fn(params, p, jnp.broadcast_to(
+            jnp.array([0.0, 0.0, 1.0], p.dtype), p.shape))
+        return jnp.squeeze(sigma, axis=-1)
+
+    n = pts.shape[0]
+    if n > chunk and n % chunk == 0:
+        sig = jax.lax.map(eval_chunk, pts.reshape(-1, chunk, 3)).reshape(-1)
+    else:
+        sig = eval_chunk(pts)
+    new = sig.reshape(grid.density.shape)
+    # conservative 3x3x3 dilation: a single jittered sample per cell can miss
+    # thin geometry at cell boundaries; taking the neighborhood max keeps
+    # surface-adjacent cells occupied (standard occupancy-grid practice)
+    new = jax.lax.reduce_window(
+        new, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    # first update replaces the inf initialization entirely
+    old = jnp.where(jnp.isinf(grid.density), new, grid.density)
+    return grid._replace(density=ema * old + (1.0 - ema) * new)
+
+
+def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
+                   near: jnp.ndarray, far: jnp.ndarray,
+                   n_steps: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray [near, far] -> the sub-interval covering occupied cells.
+
+    Fixed-count march (static shapes): probe n_steps points along each ray,
+    look up occupancy, take (first, last) occupied probe with one cell of
+    margin. Rays hitting nothing collapse to a tiny interval at `far` (the
+    background term handles them). Differentiation-free (stop_gradient'd
+    bounds, like any sampling schedule).
+    """
+    res = grid.density.shape[0]
+    frac = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
+    ts = near[:, None] + (far - near)[:, None] * frac[None, :]     # (B, S)
+    pts = origins[:, None, :] + ts[..., None] * dirs[:, None, :]    # (B, S, 3)
+
+    idx = jnp.floor((pts / grid.half_extent * 0.5 + 0.5) * res).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < res), axis=-1)
+    idx = jnp.clip(idx, 0, res - 1)
+    flat = (idx[..., 0] * res + idx[..., 1]) * res + idx[..., 2]
+    occ = grid.density.reshape(-1)[flat] > grid.threshold
+    occ = occ & inside                                              # (B, S)
+
+    step = (far - near) / n_steps
+    big = jnp.float32(3.4e38)
+    t_enter = jnp.min(jnp.where(occ, ts, big), axis=1) - step
+    t_exit = jnp.max(jnp.where(occ, ts, -big), axis=1) + step
+    hit = jnp.any(occ, axis=1)
+    new_near = jnp.where(hit, jnp.maximum(t_enter, near), far - 1e-3)
+    new_far = jnp.where(hit, jnp.minimum(t_exit, far), far)
+    return (jax.lax.stop_gradient(new_near), jax.lax.stop_gradient(new_far))

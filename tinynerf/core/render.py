@@ -143,6 +143,7 @@ def render_rays(params: mlp.Params,
                 ndc_params: Optional[Tuple[float, float, float]] = None,
                 merge_impl: str = "permute",
                 white_bkgd: bool = False,
+                occ_grid=None,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
 
@@ -166,6 +167,11 @@ def render_rays(params: mlp.Params,
     novel views (SURVEY.md §2.7 notes the absence).
     """
     origins, dirs, near, far = raylib.pixels_to_rays(rows, cols, pose17, k_inv)
+    if occ_grid is not None and ndc_params is None:
+        # empty-space skipping: concentrate the (static) sample budget on the
+        # occupied sub-interval of each ray (tinynerf/core/occupancy.py)
+        from tinynerf.core.occupancy import tighten_bounds
+        near, far = tighten_bounds(occ_grid, origins, dirs, near, far)
     if ndc_params is not None:
         ndc_h, ndc_w, ndc_f = ndc_params
         origins, dirs = raylib.ndc_rays(ndc_h, ndc_w, ndc_f, 1.0,

@@ -45,7 +45,8 @@ def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
 
 
 def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
-                  field_fn=None, ndc_params=None, batch_sharding=None):
+                  field_fn=None, ndc_params=None, batch_sharding=None,
+                  occ_grid=None):
     """Whole-frame renderer: ONE jitted dispatch per view.
 
     The pixel grid is marched with an on-device ``lax.map`` over fixed-size
@@ -86,7 +87,7 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                 params, r, c, pose, k_inv, cfg.n_coarse, cfg.n_fine,
                 field_fn=field_fn, compat_sort=cfg.compat_sort,
                 ndc_params=ndc_params, merge_impl="twolist",
-                white_bkgd=cfg.white_bkgd)
+                white_bkgd=cfg.white_bkgd, occ_grid=occ_grid)
             return c_fine
 
         out = jax.lax.map(one_chunk, (rows_d, cols_d))  # (n_chunks, chunk, 3)
@@ -127,13 +128,15 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
                     k_inv: jnp.ndarray, start_time: str,
                     last_iter: int, field_fn=None,
                     save: bool = True, max_views: Optional[int] = None,
-                    ndc_params=None, batch_sharding=None) -> np.ndarray:
+                    ndc_params=None, batch_sharding=None,
+                    occ_grid=None) -> np.ndarray:
     """Render every view of ``table`` in order; optionally write per-view JPGs
     under ``results_path/<start_time>/`` and an mp4 at 30 fps (reference
     ``nerf.py:523-530``). Returns the (N, H, W, 3) stack."""
     frame_fn = make_frame_fn(cfg, k_inv, table.height, table.width,
                              field_fn=field_fn, ndc_params=ndc_params,
-                             batch_sharding=batch_sharding)
+                             batch_sharding=batch_sharding,
+                             occ_grid=occ_grid)
     n_views = table.num_pics if max_views is None else min(max_views, table.num_pics)
     frames = np.empty((n_views, table.height, table.width, 3), np.float32)
     poses = np.asarray(table.poses)

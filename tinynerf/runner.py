@@ -86,6 +86,11 @@ class Runner:
         if self.mesh is not None:
             self.state = meshlib.replicate_state(self.state, self.mesh)
 
+        if cfg.occ_grid and cfg.data_type == "sync" and not cfg.white_bkgd:
+            print("WARNING: OCC_GRID on a white-composited scene without "
+                  "WHITE_BKGD — rays that miss occupied space will render "
+                  "black; set WHITE_BKGD = True.")
+
         self.logger = MetricLogger(os.path.join(cfg.log_dir, self.start_time))
         self._step_fns = {}
 
@@ -230,7 +235,8 @@ class Runner:
         frames = evallib.render_test_set(
             self.cfg, self.state.params, self.test_table, self.k_inv,
             self.start_time, self.last_iter, save=True, max_views=max_views,
-            ndc_params=self.ndc_params, batch_sharding=self.batch_sharding)
+            ndc_params=self.ndc_params, batch_sharding=self.batch_sharding,
+            occ_grid=self.state.occ)
         score = evallib.test_psnr(frames, self.test_table)
         print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views")
         return score

@@ -26,6 +26,7 @@ class TrainState(NamedTuple):
     opt: optim.AdamState
     iteration: jnp.ndarray  # int32 scalar — drives the LR schedule and resume
     key: jax.Array
+    occ: Any = None         # OccGrid when empty-space skipping is enabled
 
 
 def init_state(cfg: Config, key: Optional[jax.Array] = None,
@@ -38,8 +39,13 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
         params = mlp.init_network(pkey)
     if opt_state is None:
         opt_state = optim.adam_init(params)
+    occ = None
+    if cfg.occ_grid:
+        from tinynerf.core.occupancy import init_grid
+        occ = init_grid(cfg.occ_res, cfg.occ_extent, cfg.occ_thresh)
     return TrainState(params=params, opt=opt_state,
-                      iteration=jnp.asarray(iteration, jnp.int32), key=skey)
+                      iteration=jnp.asarray(iteration, jnp.int32), key=skey,
+                      occ=occ)
 
 
 def make_field_fn(cfg: Config) -> render.FieldFn:
@@ -67,17 +73,32 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
     single-chip and mesh-sharded steps."""
     field_fn = field_fn or make_field_fn(cfg)
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, occ=None):
         c_co, c_fi = render.render_rays(
             params, batch.rows, batch.cols, batch.pose17, k_inv,
             cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
             key=key if cfg.stratified else None,
             compat_sort=cfg.compat_sort, ndc_params=ndc_params,
-            white_bkgd=cfg.white_bkgd)
+            white_bkgd=cfg.white_bkgd, occ_grid=occ)
         return render.ray_loss(c_co, c_fi, batch.rgb), (c_co, c_fi)
 
     return loss_fn
 
+
+
+def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key):
+    """In-graph occupancy-grid EMA refresh every cfg.occ_update_every steps
+    (lax.cond: the R^3 field sweep only executes on refresh steps)."""
+    if state.occ is None:
+        return state.occ
+    from tinynerf.core.occupancy import update_grid
+
+    def do(g):
+        return update_grid(g, state.params, field_fn, key)
+
+    return jax.lax.cond(
+        state.iteration % cfg.occ_update_every == 0, do, lambda g: g,
+        state.occ)
 
 def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
                     field_fn: Optional[render.FieldFn] = None,
@@ -91,15 +112,18 @@ def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
     loss_fn = make_loss_fn(cfg, k_inv, field_fn, ndc_params)
     lr_fn = optim.make_lr_fn(cfg)
 
+    field_fn_resolved = field_fn or make_field_fn(cfg)
+
     def step(state: TrainState) -> Tuple[TrainState, dict]:
-        key, bkey, skey = jax.random.split(state.key, 3)
+        key, bkey, skey, okey = jax.random.split(state.key, 4)
+        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey)
         batch = table.sample(bkey, cfg.batch_ray)
         if batch_sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
                 if x.ndim >= 1 else x, batch)
         (loss, (c_co, c_fi)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, skey)
+            loss_fn, has_aux=True)(state.params, batch, skey, occ)
         lr = lr_fn(state.iteration)
         params, opt = optim.adam_update(grads, state.opt, state.params, lr)
         metrics = {"loss": loss, "lr": lr,
@@ -108,7 +132,8 @@ def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
                    "rows": batch.rows, "cols": batch.cols,
                    "rgb": batch.rgb, "pic": batch.pic}
         return TrainState(params=params, opt=opt,
-                          iteration=state.iteration + 1, key=key), metrics
+                          iteration=state.iteration + 1, key=key,
+                          occ=occ), metrics
 
     return jax.jit(step, donate_argnums=0)
 
