@@ -97,9 +97,12 @@ def test_layout_permutation_correctness():
     # interleaved channel-major row
     L = 10
     perm = mk._layout_perm(L)
+    # kernel layout is freq-major (k = l*3 + c, the pltpu.repeat pattern)
     # kernel k=0: sin f0 of channel x -> ref row 0
     assert perm[0] == 0
     # kernel k=3L: cos f0 of channel x -> ref row 1
     assert perm[3 * L] == 1
-    # kernel k=L (sin f0 of y) -> ref row 2L (y block start)
-    assert perm[L] == 2 * L
+    # kernel k=1 (sin f0 of y) -> ref row 2L (y block start)
+    assert perm[1] == 2 * L
+    # kernel k=3 (sin f1 of x) -> ref row 2
+    assert perm[3] == 2

@@ -55,22 +55,25 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 
 
 def _freq_selector(L: int) -> np.ndarray:
-    """(3, 3L) matrix F with F[c, c*L + l] = freq_l, so ``x @ F`` yields the
-    per-channel scaled coordinates in one small matmul."""
+    """(3, 3L) FREQ-MAJOR selector: F[c, l*3 + c] = freq_l. Used only in the
+    backward pass to reduce d(scaled) -> d(coords) as one small matmul; the
+    forward scaling is elementwise (see _scaled_coords)."""
     freqs = freq_bank(L)
     sel = np.zeros((3, 3 * L), np.float32)
-    for c in range(3):
-        sel[c, c * L:(c + 1) * L] = freqs
+    for l in range(L):
+        for c in range(3):
+            sel[c, l * 3 + c] = freqs[l]
     return sel
 
 
 def _layout_perm(L: int) -> np.ndarray:
     """kernel row k -> reference row. Kernel: [sin block (3L) | cos block
-    (3L)] with channel-major freq runs; reference: channel blocks of
-    interleaved [sin f0, cos f0, sin f1, ...] (nerf.py:159)."""
+    (3L)] in FREQ-MAJOR order (k = l*3 + c, the layout pltpu.repeat
+    produces); reference: channel blocks of interleaved
+    [sin f0, cos f0, sin f1, ...] (nerf.py:159)."""
     perm = np.zeros(6 * L, np.int64)
     for k in range(3 * L):
-        c, l = divmod(k, L)
+        l, c = divmod(k, 3)
         perm[k] = c * 2 * L + 2 * l          # sin rows
         perm[3 * L + k] = c * 2 * L + 2 * l + 1  # cos rows
     return perm
@@ -133,22 +136,20 @@ def _prec(dtype):
 
 
 def _scaled_coords(x, sel):
-    """(T, 3) coords -> (T, 3L) per-channel frequency-scaled values.
+    """(T, 3) coords -> (T, 3L) frequency-scaled values, freq-major layout
+    (column l*3+c holds freq_l * x_c).
 
-    Computed ELEMENTWISE (repeat + multiply), not as ``x @ sel`` on the MXU:
-    the matmul rounds 1 ulp differently from a plain multiply, and at
+    Computed ELEMENTWISE (pltpu.repeat + multiply), never through the MXU:
+    a matmul rounds 1 ulp differently from a plain multiply, and at
     arguments up to 2^L * pi * |x| (~6e3) one ulp in the argument moves
     sin/cos by ~5e-4 — which backprop through 8 layers amplifies into
     percent-level gradient error. The elementwise form is bit-identical to
-    ``field_jnp``'s ``x[..., None] * freqs``.
+    ``field_jnp``'s ``x[..., None] * freqs`` (modulo the layout permutation
+    folded into the weights), and costs zero MXU passes.
     """
+    L3 = sel.shape[1]
     freq_row = jnp.sum(sel, axis=0, keepdims=True)      # (1, 3L), exact
-    ones_sel = (sel != 0.0).astype(jnp.float32)         # 0/1 broadcast matrix
-    # x @ ones_sel only moves values (x*1 + 0 + 0 — exact even on the MXU);
-    # the frequency multiply is then a single elementwise rounding, matching
-    # field_jnp bit-for-bit
-    x_rep = jnp.dot(x, ones_sel, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+    x_rep = pltpu.repeat(x, L3 // 3, axis=1)            # [xyz xyz ...]
     return x_rep * freq_row
 
 
@@ -367,6 +368,8 @@ def _bwd_kernel(*refs, dtype):
         g_scaled_dir, dirsel, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
+    # (d_pts/d_dirs stay HIGHEST: two tiny matmuls, and the resampler
+    # gradient path deserves full precision)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
