@@ -82,6 +82,36 @@ def test_render_with_occ_grid_matches_without_when_fully_occupied():
                                atol=1e-5)
 
 
+def test_runner_with_occ_and_white_bkgd(sync_scene_dir, tmp_path):
+    """Full Runner path (train + display) with the occupancy grid enabled."""
+    from tinynerf.runner import Runner
+    cfg = Config(
+        img_dir=sync_scene_dir, results_path=str(tmp_path / "r"),
+        ckpt_path=str(tmp_path / "c"), log_dir=str(tmp_path / "l"),
+        total_iter=20, step=10, batch_ray=32, n_coarse=4, n_fine=4,
+        use_pallas=False, render_chunk=72,
+        occ_grid=True, occ_res=8, occ_extent=6.0, occ_update_every=5,
+        white_bkgd=True)
+    runner = Runner(cfg)
+    runner.train("train")
+    assert int(runner.state.iteration) == 20
+    assert runner.state.occ is not None
+    score = runner.display(max_views=1)
+    assert np.isfinite(score)
+
+
+def test_occ_ini_keys(tmp_path):
+    from tinynerf.config import load_config
+    path = tmp_path / "s.ini"
+    path.write_text("[s]\nOCC_GRID = True\nOCC_RES = 32\nOCC_EXTENT = 2.5\n"
+                    "OCC_THRESH = 0.05\nOCC_UPDATE_EVERY = 64\n"
+                    "WHITE_BKGD = True\n")
+    cfg = load_config(str(path))
+    assert cfg.occ_grid is True and cfg.occ_res == 32
+    assert cfg.occ_extent == 2.5 and cfg.occ_thresh == 0.05
+    assert cfg.occ_update_every == 64 and cfg.white_bkgd is True
+
+
 def test_train_step_with_occ_grid(sync_scene_dir):
     cfg = Config(batch_ray=16, n_coarse=4, n_fine=4, use_pallas=False,
                  occ_grid=True, occ_res=8, occ_extent=2.0,
