@@ -81,15 +81,18 @@ struct RayStore {
   std::condition_variable cv_full, cv_empty;
   std::atomic<bool> stop{false};
 
-  void fill_batch(int64_t bi, Slot &slot) {
-    slot.rows.resize(batch);
-    slot.cols.resize(batch);
-    slot.rgb.resize(static_cast<size_t>(batch) * 3);
-    slot.pose.resize(static_cast<size_t>(batch) * 17);
-    slot.pic.resize(batch);
+  // Fills `slot` with batch `bi` of size `b`. Does NOT publish the slot
+  // (batch_index/full stay untouched): publication happens under `mu` in
+  // producer_loop so the consumer's cv predicate never races a plain write.
+  void fill_batch(int64_t bi, Slot &slot, int b) {
+    slot.rows.resize(b);
+    slot.cols.resize(b);
+    slot.rgb.resize(static_cast<size_t>(b) * 3);
+    slot.pose.resize(static_cast<size_t>(b) * 17);
+    slot.pic.resize(b);
     const float *pf = static_cast<const float *>(pixels);
     const uint8_t *pu = static_cast<const uint8_t *>(pixels);
-    for (int j = 0; j < batch; ++j) {
+    for (int j = 0; j < b; ++j) {
       uint64_t ctr = (static_cast<uint64_t>(bi) << 32) | (uint32_t)j;
       // rejection-free modulo bias is negligible for num_pix << 2^32;
       // use 64-bit draw for large stores
@@ -109,8 +112,6 @@ struct RayStore {
       }
       std::memcpy(&slot.pose[j * 17], &poses[pic * 17], 17 * sizeof(float));
     }
-    slot.batch_index = bi;
-    slot.full = true;
   }
 
   void producer_loop() {
@@ -123,8 +124,10 @@ struct RayStore {
       Slot &slot = ring[next_fill % ring.size()];
       int64_t bi = next_fill;
       lk.unlock();
-      fill_batch(bi, slot);  // slot not visible to consumer until `full`
+      fill_batch(bi, slot, batch);  // not visible to consumer until published
       lk.lock();
+      slot.batch_index = bi;  // publish under mu: rs_next's cv predicate
+      slot.full = true;       // reads these fields under the same mutex
       ++next_fill;
       cv_full.notify_all();
     }
@@ -168,6 +171,13 @@ void *rs_create_mmap(const char *pixel_path, int is_u8, int64_t num_pix,
   int fd = open(pixel_path, O_RDONLY);
   if (fd < 0) return nullptr;
   size_t len = static_cast<size_t>(num_pix) * 3 * (is_u8 ? 1 : 4);
+  struct stat st;
+  if (fstat(fd, &st) != 0 || static_cast<size_t>(st.st_size) < len) {
+    // A short/truncated file would mmap fine but SIGBUS on first access
+    // past EOF — fail loudly here instead.
+    close(fd);
+    return nullptr;
+  }
   void *base = mmap(nullptr, len, PROT_READ, MAP_PRIVATE, fd, 0);
   close(fd);
   if (base == MAP_FAILED) return nullptr;
@@ -189,10 +199,7 @@ void rs_sample(void *handle, int64_t batch_index, int batch, float *rows,
                float *cols, float *rgb, float *pose, int32_t *pic) {
   auto *s = static_cast<RayStore *>(handle);
   RayStore::Slot slot;
-  int prev_batch = s->batch;
-  s->batch = batch;
-  s->fill_batch(batch_index, slot);
-  s->batch = prev_batch;
+  s->fill_batch(batch_index, slot, batch);
   std::memcpy(rows, slot.rows.data(), batch * sizeof(float));
   std::memcpy(cols, slot.cols.data(), batch * sizeof(float));
   std::memcpy(rgb, slot.rgb.data(), batch * 3 * sizeof(float));

@@ -112,6 +112,37 @@ def test_occ_ini_keys(tmp_path):
     assert cfg.occ_update_every == 64 and cfg.white_bkgd is True
 
 
+def test_runner_rejects_occ_without_white_bkgd(sync_scene_dir, tmp_path):
+    from tinynerf.runner import Runner
+    cfg = Config(
+        img_dir=sync_scene_dir, results_path=str(tmp_path / "r"),
+        ckpt_path=str(tmp_path / "c"), log_dir=str(tmp_path / "l"),
+        batch_ray=32, n_coarse=4, n_fine=4, use_pallas=False,
+        occ_grid=True, occ_res=8, white_bkgd=False)
+    with pytest.raises(ValueError, match="WHITE_BKGD"):
+        Runner(cfg)
+
+
+def test_host_fed_step_threads_occ_grid(sync_scene_dir):
+    """OCC_GRID + HOST_FEED: the grid must refresh and shape the loss (it
+    used to be silently dropped on this path)."""
+    cfg = Config(batch_ray=16, n_coarse=4, n_fine=4, use_pallas=False,
+                 occ_grid=True, occ_res=8, occ_extent=6.0,
+                 occ_update_every=2, white_bkgd=True)
+    table = RayTable(load_scene(sync_scene_dir, "sync", "train"))
+    k_inv = make_k_inv(table.height, table.width, table.focal)
+    step = trainlib.make_host_fed_train_step(cfg, k_inv)
+    state = trainlib.init_state(cfg)
+    assert state.occ is not None
+    dens0 = np.asarray(state.occ.density).copy()
+    for i in range(3):
+        batch = table.sample(jax.random.PRNGKey(i), cfg.batch_ray)
+        state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))
+    assert not np.array_equal(np.asarray(state.occ.density), dens0)
+    assert np.isfinite(np.asarray(state.occ.density)).all()
+
+
 def test_train_step_with_occ_grid(sync_scene_dir):
     cfg = Config(batch_ray=16, n_coarse=4, n_fine=4, use_pallas=False,
                  occ_grid=True, occ_res=8, occ_extent=2.0,

@@ -12,13 +12,13 @@ Everything is static-shape jnp: the grid update is one field evaluation over
 the cell centers; the per-ray tightening is a fixed-step DDA-style march of
 compares and min/max reductions. Rays that miss all occupied cells collapse
 to an empty interval and composite to the background — which is why this
-feature requires ``WHITE_BKGD = True`` for white-composited scenes (enforced
-in the Runner).
+feature requires ``WHITE_BKGD = True`` for white-composited (sync) scenes:
+the Runner rejects the OCC_GRID + sync + black-background combination.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,16 +80,23 @@ def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
 
 def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
                    near: jnp.ndarray, far: jnp.ndarray,
-                   n_steps: int = 128) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   n_steps: Optional[int] = None,
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-ray [near, far] -> the sub-interval covering occupied cells.
 
     Fixed-count march (static shapes): probe n_steps points along each ray,
-    look up occupancy, take (first, last) occupied probe with one cell of
-    margin. Rays hitting nothing collapse to a tiny interval at `far` (the
-    background term handles them). Differentiation-free (stop_gradient'd
-    bounds, like any sampling schedule).
+    look up occupancy, take (first, last) occupied probe with a margin of at
+    least one grid-cell diagonal. Rays hitting nothing collapse to a tiny
+    interval at `far` (the background term handles them).
+    Differentiation-free (stop_gradient'd bounds, like any sampling schedule).
+
+    ``n_steps`` defaults to ``2 * resolution`` so probe spacing tracks the
+    cell size: with a fixed count, occupied regions thinner than
+    (far-near)/n_steps could fall between probes at high grid resolutions.
     """
     res = grid.density.shape[0]
+    if n_steps is None:
+        n_steps = max(128, 2 * res)
     frac = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
     ts = near[:, None] + (far - near)[:, None] * frac[None, :]     # (B, S)
     pts = origins[:, None, :] + ts[..., None] * dirs[:, None, :]    # (B, S, 3)
@@ -101,7 +108,11 @@ def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
     occ = grid.density.reshape(-1)[flat] > grid.threshold
     occ = occ & inside                                              # (B, S)
 
-    step = (far - near) / n_steps
+    # margin: at least one cell diagonal, so surfaces sitting right at an
+    # occupied cell's boundary stay inside the tightened interval even when
+    # probe spacing is finer than the cell size
+    cell_diag = 2.0 * grid.half_extent / res * jnp.sqrt(3.0)
+    step = jnp.maximum((far - near) / n_steps, cell_diag)
     big = jnp.float32(3.4e38)
     t_enter = jnp.min(jnp.where(occ, ts, big), axis=1) - step
     t_exit = jnp.max(jnp.where(occ, ts, -big), axis=1) + step

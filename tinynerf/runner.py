@@ -87,9 +87,11 @@ class Runner:
             self.state = meshlib.replicate_state(self.state, self.mesh)
 
         if cfg.occ_grid and cfg.data_type == "sync" and not cfg.white_bkgd:
-            print("WARNING: OCC_GRID on a white-composited scene without "
-                  "WHITE_BKGD — rays that miss occupied space will render "
-                  "black; set WHITE_BKGD = True.")
+            raise ValueError(
+                "OCC_GRID on a white-composited (sync) scene requires "
+                "WHITE_BKGD = True: rays that miss occupied space composite "
+                "to the background and would train toward black against "
+                "white ground truth.")
 
         self.logger = MetricLogger(os.path.join(cfg.log_dir, self.start_time))
         self._step_fns = {}

@@ -150,15 +150,17 @@ def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
     """
     loss_fn = make_loss_fn(cfg, k_inv, field_fn, ndc_params)
     lr_fn = optim.make_lr_fn(cfg)
+    field_fn_resolved = field_fn or make_field_fn(cfg)
 
     def step(state: TrainState, batch) -> Tuple[TrainState, dict]:
-        key, skey = jax.random.split(state.key)
+        key, skey, okey = jax.random.split(state.key, 3)
+        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey)
         if batch_sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
                 if x.ndim >= 1 else x, batch)
         (loss, (c_co, c_fi)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, skey)
+            loss_fn, has_aux=True)(state.params, batch, skey, occ)
         lr = lr_fn(state.iteration)
         params, opt = optim.adam_update(grads, state.opt, state.params, lr)
         metrics = {"loss": loss, "lr": lr,
@@ -166,7 +168,8 @@ def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
                    "rows": batch.rows, "cols": batch.cols,
                    "rgb": batch.rgb, "pic": batch.pic}
         return TrainState(params=params, opt=opt,
-                          iteration=state.iteration + 1, key=key), metrics
+                          iteration=state.iteration + 1, key=key,
+                          occ=occ), metrics
 
     return jax.jit(step, donate_argnums=0)
 
