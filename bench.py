@@ -13,7 +13,10 @@ reference batch).
 vs_baseline: the reference publishes no numbers (BASELINE.md). The comparison
 point is an estimated 8,000 rays/sec for the PyTorch reference on a modern
 single GPU: its loop is bounded by 3 mandatory host<->device syncs per
-400-ray iteration (SURVEY.md §3.2) at an optimistic ~20 it/s.
+400-ray iteration (SURVEY.md §3.2) at an optimistic ~20 it/s. A MEASURED
+anchor exists since round 2: the reference runs at 92 rays/s on this host's
+CPU (BASELINE.md "Measured reference numbers"), making the 8k GPU estimate
+~87x its own CPU speed — a plausible GPU/CPU ratio for this workload.
 """
 
 from __future__ import annotations

@@ -159,5 +159,169 @@ def test_full_forward_parity_compat(ref_model, params):
         params, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(pose),
         k_inv, NC, NF, compat_sort=True)
 
-    np.testing.assert_allclose(np.asarray(c_co), c_co_ref.numpy(), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(c_fi), c_fi_ref.numpy(), atol=5e-3)
+    # tight bounds on purpose: the resampler's linspace-spacing delta bug
+    # (fixed in round 2) produced ~4e-3 fine diffs that the old 5e-3 atol
+    # let through; observed post-fix maxima are 2.7e-6 / 1.9e-4
+    np.testing.assert_allclose(np.asarray(c_co), c_co_ref.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_fi), c_fi_ref.numpy(), atol=6e-4)
+
+
+def test_gradient_parity(ref_model, params):
+    """Backward parity: torch autograd on the live reference vs jax grad on
+    identical weights and an identical ray batch. The per-element gradients
+    are ill-conditioned in fp32 (the reference's ``1/(dense+1e-7)`` CDF
+    slopes and channel-wise sort flip discretely under 1-ulp forward
+    differences; our own f32-vs-f64 grads differ as much), so the assertion
+    is directional: global cosine similarity plus tight agreement on the
+    well-conditioned color branch."""
+    rows, cols, pose = _pose17_batch()
+    rgb = np.random.default_rng(11).uniform(0, 1, (B, 3)).astype(np.float32)
+
+    refnerf.device = torch.device("cpu")
+    ref_model.zero_grad()
+    ref_model.train()
+    c_co, c_fi = ref_model(
+        torch.tensor(rows), torch.tensor(cols), torch.tensor(pose),
+        _k_inv_torch())
+    loss_t = ref_model.ray_loss(c_co, c_fi, torch.tensor(rgb))
+    loss_t.backward()
+    tgrads = ckpt.import_torch_state_dict(
+        {k: v.grad.detach().numpy()
+         for k, v in ref_model.network.named_parameters()})
+    ref_model.zero_grad()
+    ref_model.eval()
+
+    k_inv = make_k_inv(H, W, F)
+
+    def loss_fn(p):
+        cc, cf = render.render_rays(
+            p, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(pose),
+            k_inv, NC, NF, compat_sort=True)
+        return render.ray_loss(cc, cf, jnp.asarray(rgb))
+
+    loss_j, jgrads = jax.value_and_grad(loss_fn)(params)
+    assert abs(float(loss_j) - float(loss_t)) / float(loss_t) < 1e-3
+
+    flat_t = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(tgrads)[0]}
+    flat_j = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+              jax.tree_util.tree_flatten_with_path(jgrads)[0]}
+    vt = np.concatenate([flat_t[k].ravel() for k in sorted(flat_t)])
+    vj = np.concatenate([flat_j[k].ravel() for k in sorted(flat_j)])
+    cos = float(vt @ vj / (np.linalg.norm(vt) * np.linalg.norm(vj)))
+    assert cos > 0.98, f"gradient cosine {cos}"
+    for name in ("['color']['w']", "['color']['b']"):
+        scale = np.abs(flat_t[name]).max()
+        rel = np.abs(flat_t[name] - flat_j[name]).max() / scale
+        assert rel < 0.05, f"{name} grad maxrel {rel}"
+
+
+def test_training_dynamics_parity(ref_model):
+    """Train the live reference and tinynerf side by side for 120 steps from
+    identical weights on identical ray batches (compat_sort, Adam + EXP
+    schedule both torch-exact) and assert the loss trajectories track.
+
+    Per-step equality is impossible in fp32 — the dynamics are chaotic
+    (control experiment: our own f32-vs-f64 runs drift MORE than torch-vs-
+    jax does; see VALIDATION.md) — so the assertions are trajectory-level:
+    step-0 equality, windowed-mean tracking, same convergence."""
+    import nerf as _refmod  # noqa: F401 — module-level import above
+    from tinynerf import optim as optimlib, train as trainlib
+    from tinynerf.config import Config
+    from tinynerf.data.rays import RayBatch
+
+    torch.manual_seed(3)
+    model = refnerf.NeRFModel(num_coarse=NC, num_fine=NF, batch_ray=16)
+    refnerf.device = torch.device("cpu")
+    learning, gamma, decay = 5e-4, 0.1, 200000
+    opt_t = torch.optim.Adam(
+        [{"params": model.network.parameters(), "initial_lr": learning}],
+        lr=learning, betas=(0.9, 0.999), eps=1e-7)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt_t, lr_lambda=lambda it: gamma ** (it / decay) if it < decay
+        else gamma * learning, last_epoch=-1)
+
+    nb = 16
+    hw = 16.0
+    f = 19.2
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    images = np.stack([
+        np.stack([0.5 + 0.4 * np.sin(0.3 * xx + i),
+                  0.5 + 0.4 * np.cos(0.25 * yy - i),
+                  0.5 + 0.4 * np.sin(0.2 * (xx + yy) + 2 * i)], -1)
+        for i in range(3)], 0).astype(np.float32)
+    poses = []
+    for i in range(3):
+        th = 0.4 * i
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.array(
+            [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+             [-np.sin(th), 0, np.cos(th)]], np.float32)
+        c2w[:3, 3] = [0.2 * i, -0.1 * i, 4.0]
+        hwf = np.array([[hw], [hw], [f]], np.float32)
+        poses.append(np.concatenate(
+            [np.concatenate([c2w[:3, :4], hwf], 1).flatten(), [2.0, 6.0]]))
+    poses = np.stack(poses).astype(np.float32)
+
+    sd = {k: v.detach().numpy() for k, v in model.network.state_dict().items()}
+    params = ckpt.import_torch_state_dict(sd)
+    cfg = Config(batch_ray=nb, n_coarse=NC, n_fine=NF, use_pallas=False,
+                 compat_sort=True, stratified=False, learning=learning,
+                 lr_gamma=gamma, decay_end=decay, sched="EXP")
+    k_inv = make_k_inv(hw, hw, f)
+    loss_fn = trainlib.make_loss_fn(cfg, k_inv)
+    lr_fn = optimlib.make_lr_fn(cfg)
+
+    @jax.jit
+    def jstep(p, o, it, rows, cols, rgb, pose17):
+        batch = RayBatch(rows=rows, cols=cols, rgb=rgb, pose17=pose17,
+                         pic=jnp.zeros_like(rows, jnp.int32))
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, None, None)
+        p, o = optimlib.adam_update(grads, o, p, lr_fn(it))
+        return p, o, loss
+
+    opt_j = optimlib.adam_init(params)
+    k_inv_t = torch.tensor(
+        [[1.0, 0.0, -0.5 * hw], [0.0, -1.0, 0.5 * hw],
+         [0.0, 0.0, -f]]).to(torch.float).transpose(0, 1)
+
+    steps = 120
+    hist = np.zeros((steps, 2))
+    for i in range(steps):
+        r = np.random.default_rng(1000 + i)
+        pic = r.integers(0, 3, nb)
+        row = r.integers(0, 16, nb).astype(np.float32)
+        col = r.integers(0, 16, nb).astype(np.float32)
+        rgb = images[pic, row.astype(int), col.astype(int)]
+        pose17 = poses[pic]
+
+        opt_t.zero_grad()
+        model.train()
+        cc, cf = model(torch.tensor(row), torch.tensor(col),
+                       torch.tensor(pose17), k_inv_t)
+        lt = model.ray_loss(cc, cf, torch.tensor(rgb))
+        lt.backward()
+        opt_t.step()
+        sched.step()
+
+        params, opt_j, lj = jstep(
+            params, opt_j, jnp.asarray(i, jnp.int32), jnp.asarray(row),
+            jnp.asarray(col), jnp.asarray(rgb), jnp.asarray(pose17))
+        hist[i] = (float(lt.detach()), float(lj))
+
+    # identical weights -> step-0 losses equal up to discrete resolution:
+    # the reference's host-numpy resampler runs in float64, so CDF bin
+    # indices / sort orders can flip vs our fp32 forward, each worth O(0.1)
+    # in the sum-loss (exact forward equality on a fixed configuration is
+    # asserted by test_full_forward_parity_compat at atol 6e-4)
+    assert abs(hist[0, 1] - hist[0, 0]) / hist[0, 0] < 5e-2
+    # trajectory-level tracking
+    mean_rel = abs(hist[:, 0].mean() - hist[:, 1].mean()) / hist[:, 0].mean()
+    assert mean_rel < 0.2, f"mean loss rel diff {mean_rel}"
+    w0_t, w0_j = hist[:20, 0].mean(), hist[:20, 1].mean()
+    wf_t, wf_j = hist[-20:, 0].mean(), hist[-20:, 1].mean()
+    final_rel = abs(wf_t - wf_j) / wf_t
+    assert final_rel < 0.3, f"final-window loss rel diff {final_rel}"
+    # both implementations learned, by a comparable amount
+    assert wf_t < 0.7 * w0_t and wf_j < 0.7 * w0_j

@@ -193,7 +193,12 @@ def render_rays(params: mlp.Params,
         return c_coarse, c_coarse
 
     # ---- hierarchical fine pass (nerf.py:298-321) ----
-    t_fi = sampling.resample(t_co, dense_co, delta_ray, n_fine)
+    # the resampler's CDF slope uses the LINSPACE spacing (far-near)/(N_c-1)
+    # — the reference takes ``t_coarse[0,1] - t_coarse[0,0]`` (nerf.py:234),
+    # which differs from the density delta (far-near)/N_c above (a reference
+    # inconsistency kept for parity; per-ray rather than ray-0 per D3)
+    t_fi = sampling.resample(t_co, dense_co, (far - near) / (n_coarse - 1),
+                             n_fine)
     color_fi, sigma_fi = _eval_field(field_fn, params, origins, dirs, t_fi)
 
     if compat_sort:

@@ -93,7 +93,10 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
     Args:
       t_coarse: (B, N_c) coarse sample distances (sorted per ray).
       dense_coarse: (B, N_c) coarse compositing weights (>= 0).
-      delta_coarse: (B,) per-ray coarse spacing ``(far - near) / N_c``.
+      delta_coarse: (B,) per-ray coarse LINSPACE spacing
+        ``(far - near) / (N_c - 1)`` — the reference takes
+        ``t_coarse[0,1] - t_coarse[0,0]`` (nerf.py:234), i.e. the inclusive
+        linspace step, NOT the density delta ``(far - near) / N_c``.
       n_fine: number of fine samples N_f.
 
     Returns: (B, N_f) fine sample distances, sorted per ray (CDF levels are
@@ -101,8 +104,13 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
     construction — which the combined-pass merge relies on).
     """
     cdf = matmul_cumsum(dense_coarse)  # (B, N_c), nondecreasing
-    high = jnp.max(cdf, axis=1)  # (B,)
-    low = jnp.min(cdf, axis=1)
+    # The levels are NOT differentiated: the reference computes low/high on
+    # the host with numpy (nerf.py:240-243), detaching them — gradients reach
+    # coarse sigma only through the gathered lower_cdf/lower_slope below.
+    # (Verified against torch autograd: without this stop_gradient the
+    # trunk/sigma grads differ by ~100%.)
+    high = jax.lax.stop_gradient(jnp.max(cdf, axis=1))  # (B,)
+    low = jax.lax.stop_gradient(jnp.min(cdf, axis=1))
 
     # N_f + 2 uniform levels between per-ray [low, high]; drop both endpoints
     # (reference nerf.py:243-246, computed there on the host with numpy).
