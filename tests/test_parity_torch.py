@@ -30,6 +30,12 @@ F = 10.0
 
 @pytest.fixture(scope="module")
 def ref_model():
+    # pin the init: other test files (e.g. test_ckpt) instantiate reference
+    # modules and advance torch's global RNG; un-pinned weights make the
+    # gradient-parity cosine init-dependent (fp-chaotic via the resampler
+    # slope path — for some inits even our own f32-vs-f64 cosine drops to
+    # ~0.8; see VALIDATION.md)
+    torch.manual_seed(624)
     m = refnerf.NeRFModel(num_coarse=NC, num_fine=NF, batch_ray=B)
     m.eval()
     return m

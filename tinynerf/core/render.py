@@ -71,34 +71,36 @@ def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
 
     Mathematically identical to sort-by-t -> diff -> inclusive-cumsum
     density -> composite (the Q4-fixed combined pass), but exploits that both
-    lists are per-ray sorted: the merge is fully described by ONE
-    (B, N_c, N_f) compare matrix. Successors and cross-list prefix sums come
-    from small one-hot gathers; the compositing sum is order-independent.
-    This keeps the hot path off the (B, N, N) permutation masks of a
-    materialized sort — the compare/gather tensors here are ~8x smaller and
-    everything is compare + matmul (TPU-friendly; VJP has no scatters).
+    lists are per-ray sorted: the merge is fully described by the
+    (B, N_c, N_f) cross-compare masks, and those masks are consumed DIRECTLY
+    — successors are masked min-reductions over them, and each sample's
+    cross-list prefix mass is one batched mask @ sd matmul. No cumsum+gather
+    indirection, no (B, N, N) permutation one-hots: the only large
+    intermediates are the two compare masks, ~18x smaller than a materialized
+    sort of the concatenated list, and every heavy op is a compare, a
+    reduction or a matmul (TPU-friendly; VJP is transposed matmuls over the
+    same masks, no scatters).
 
     Tie-breaking matches a stable sort of concat([coarse, fine]): an equal-t
     pair orders the coarse sample first.
     """
-    # fewer[b, i, j] = fine_j strictly before coarse_i
-    fewer = (t_fi[:, None, :] < t_co[:, :, None]).astype(t_co.dtype)
-    c_cnt = jnp.sum(fewer, axis=2).astype(jnp.int32)        # (B, N_c)
-    # d[b, j] = #coarse <= fine_j  (ties put coarse first)
-    d_cnt = (t_co.shape[1]
-             - jnp.sum(fewer, axis=1).astype(jnp.int32))     # (B, N_f)
-
-    big = jnp.asarray(jnp.finfo(t_co.dtype).max, t_co.dtype)
-    inf_col = jnp.full_like(t_co[:, :1], big)
-    t_co_pad = jnp.concatenate([t_co, inf_col], axis=1)      # (B, N_c+1)
-    t_fi_pad = jnp.concatenate([t_fi, inf_col], axis=1)      # (B, N_f+1)
+    dtype = t_co.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    # fewer[b,i,j]: fine_j strictly before coarse_i (equivalently coarse_i
+    # strictly after fine_j — the one mask drives both directions)
+    fewer = t_fi[:, None, :] < t_co[:, :, None]              # (B, N_c, N_f)
 
     # merged successor of each sample: own next vs first cross-list sample
-    # at/after it
-    next_co = jnp.minimum(t_co_pad[:, 1:],
-                          sampling.onehot_gather(t_fi_pad, c_cnt))
-    next_fi = jnp.minimum(t_fi_pad[:, 1:],
-                          sampling.onehot_gather(t_co_pad, d_cnt))
+    # at/after it (for coarse: fine with t_fi >= t_co, ties go to the fine
+    # side since equal-t coarse sorts first; for fine: coarse with t_co >
+    # t_fi, an equal-t coarse sorts BEFORE the fine)
+    inf_col = jnp.full_like(t_co[:, :1], big)
+    next_own_co = jnp.concatenate([t_co[:, 1:], inf_col], axis=1)
+    next_own_fi = jnp.concatenate([t_fi[:, 1:], inf_col], axis=1)
+    cand_co = jnp.min(jnp.where(fewer, big, t_fi[:, None, :]), axis=2)
+    cand_fi = jnp.min(jnp.where(fewer, t_co[:, :, None], big), axis=1)
+    next_co = jnp.minimum(next_own_co, cand_co)
+    next_fi = jnp.minimum(next_own_fi, cand_fi)
     # the globally last sample has no successor -> constant tail delta
     # (reference nerf.py:286,315)
     delta_co = jnp.where(next_co >= big, tail, next_co - t_co)
@@ -108,11 +110,16 @@ def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
     sd_fi = sigma_fi * delta_fi
     own_co = sampling.matmul_cumsum(sd_co)                   # (B, N_c)
     own_fi = sampling.matmul_cumsum(sd_fi)                   # (B, N_f)
-    zero = jnp.zeros_like(inf_col)
-    cross_co = sampling.onehot_gather(                       # fine mass before
-        jnp.concatenate([zero, own_fi], axis=1), c_cnt)      # coarse_i
-    cross_fi = sampling.onehot_gather(
-        jnp.concatenate([zero, own_co], axis=1), d_cnt)
+    # cross-list prefix mass, straight off the compare mask (batched matvec):
+    # coarse_i accumulates every fine strictly before it; fine_j accumulates
+    # every coarse at/before it (ties coarse-first => inclusive)
+    mask = fewer.astype(dtype)
+    cross_co = jax.lax.dot_general(
+        mask, sd_fi, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)                 # (B, N_c)
+    cross_fi = jax.lax.dot_general(
+        1.0 - mask, sd_co, (((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)                 # (B, N_f)
 
     w_co = jnp.exp(-(own_co + cross_co)) * (1.0 - jnp.exp(-sd_co))
     w_fi = jnp.exp(-(own_fi + cross_fi)) * (1.0 - jnp.exp(-sd_fi))
@@ -126,7 +133,16 @@ def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
 def _eval_field(field_fn: FieldFn, params: mlp.Params, origins: jnp.ndarray,
                 dirs: jnp.ndarray, ts: jnp.ndarray,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Evaluate the field at ``origin + t * dir`` for each (ray, sample)."""
+    """Evaluate the field at ``origin + t * dir`` for each (ray, sample).
+
+    Field fns may expose an ``eval_rays(params, origins, dirs, ts)``
+    attribute (the fused Pallas path does): it performs the ray->point
+    expansion inside the kernel, keeping the (B*N, 3) coordinate tensors —
+    which XLA tiles at 3/128 lane occupancy — out of HBM entirely."""
+    ray_eval = getattr(field_fn, "eval_rays", None)
+    if ray_eval is not None:
+        # eval_rays returns sigma as dense (B, N) — no (B, N, 1) squeeze
+        return ray_eval(params, origins, dirs, ts)
     points = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
     dirs_b = jnp.broadcast_to(dirs[:, None, :], points.shape)
     color, sigma = field_fn(params, points, dirs_b)

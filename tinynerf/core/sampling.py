@@ -133,9 +133,19 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
     slope_inv = jnp.concatenate(
         [slope_inv, jnp.zeros_like(slope_inv[:, :1])], axis=1)  # (B, N_c)
 
-    lower_t = onehot_gather(t_coarse, idx)
-    lower_cdf = onehot_gather(cdf, idx)  # grads flow (Q8)
-    lower_slope = onehot_gather(slope_inv, idx)
+    # one one-hot, three gathers: stack the gathered channels so a single
+    # (B, N_f, N_c) @ (B, N_c, 3) batched matmul replaces three separate
+    # one-hot materializations (grads still flow through cdf/slope, Q8)
+    stacked = jnp.stack([t_coarse, cdf, slope_inv], axis=-1)  # (B, N_c, 3)
+    n = t_coarse.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    onehot = (idx[:, :, None] == iota).astype(cdf.dtype)      # (B, N_f, N_c)
+    gathered = jax.lax.dot_general(
+        onehot, stacked, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)                  # (B, N_f, 3)
+    lower_t = gathered[..., 0]
+    lower_cdf = gathered[..., 1]  # grads flow (Q8)
+    lower_slope = gathered[..., 2]
     return lower_t + (t_inv - lower_cdf) * lower_slope
 
 

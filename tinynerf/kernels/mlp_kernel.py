@@ -166,31 +166,36 @@ def _mm(a, b):
 
 
 def _forward_tile(w, enc_pt, enc_dir, dtype, keep_acts=False):
-    """Shared fwd math over one tile. Returns (color, sigma_pre[, acts])."""
+    """Shared fwd math over one tile. Returns (color, sigma_pre) or, with
+    ``keep_acts``, additionally the post-relu activations AND their relu
+    masks pre-cast to the compute dtype — the backward pass multiplies by
+    the mask instead of re-deriving it with f32 casts + compares (the cast
+    chain costs ~4 VPU passes per (T, 256) layer; masks make it one bf16
+    multiply)."""
     acts = []
-    h = jax.nn.relu(_mm(enc_pt, w["w0"]) + w["b0"]).astype(dtype)
-    if keep_acts:
-        acts.append(h)
+    masks = []
+
+    def relu(pre):  # pre: f32 accumulator output
+        a = jax.nn.relu(pre).astype(dtype)
+        if keep_acts:
+            acts.append(a)
+            masks.append((pre > 0.0).astype(dtype))
+        return a
+
+    h = relu(_mm(enc_pt, w["w0"]) + w["b0"])
     for i in (1, 2, 3):
-        h = jax.nn.relu(_mm(h, w[f"w{i}"]) + w[f"b{i}"]).astype(dtype)
-        if keep_acts:
-            acts.append(h)
-    h = jax.nn.relu(
-        _mm(h, w["w4h"]) + _mm(enc_pt, w["w4e"]) + w["b4"]).astype(dtype)
-    if keep_acts:
-        acts.append(h)
+        h = relu(_mm(h, w[f"w{i}"]) + w[f"b{i}"])
+    h = relu(_mm(h, w["w4h"]) + _mm(enc_pt, w["w4e"]) + w["b4"])
     for i in (5, 6, 7):
-        h = jax.nn.relu(_mm(h, w[f"w{i}"]) + w[f"b{i}"]).astype(dtype)
-        if keep_acts:
-            acts.append(h)
+        h = relu(_mm(h, w[f"w{i}"]) + w[f"b{i}"])
     sigma_pre = _mm(h, w["wsig"]) + w["bsig"]          # (T, 1) f32
     point_info = (_mm(h, w["wpi"]) + w["bpi"]).astype(dtype)
-    hd = jax.nn.relu(
-        _mm(enc_dir, w["wde"]) + _mm(point_info, w["wdp"]) + w["bd"]
-    ).astype(dtype)
+    hd_pre = _mm(enc_dir, w["wde"]) + _mm(point_info, w["wdp"]) + w["bd"]
+    hd = jax.nn.relu(hd_pre).astype(dtype)
     color = jax.nn.sigmoid(_mm(hd, w["wcol"]) + w["bcol"])  # (T, 3) f32
     if keep_acts:
-        return color, sigma_pre, point_info, hd, acts
+        hd_mask = (hd_pre > 0.0).astype(dtype)
+        return color, sigma_pre, point_info, hd, hd_mask, acts, masks
     return color, sigma_pre
 
 
@@ -207,6 +212,44 @@ def _fwd_kernel(*refs, dtype):
     color, sigma_pre = _forward_tile(w, enc_pt, enc_dir, dtype)
     out_ref[:] = jnp.concatenate(
         [color, jnp.abs(sigma_pre)], axis=-1).astype(jnp.float32)
+
+
+def _expand_rays(o, d, t):
+    """(RT, 3) origins/dirs + (RT, N) ts -> per-sample (RT*N, 3) pts/dirs.
+
+    The ray->point expansion lives INSIDE the kernel: in XLA a (R, 3) array
+    tiles as T(8,128) with 3 of 128 lanes used, so materializing per-sample
+    points/dirs in HBM wastes ~42x the bandwidth (profiled at ~3.5 ms/step
+    of pure layout overhead). Here the expansion is a VMEM-local broadcast;
+    HBM only ever sees (B, 3) per-ray vectors and the dense (B, N) t table.
+    The leading-dims reshape (RT, N, 3) -> (RT*N, 3) keeps the lane dim
+    untouched (the Mosaic-safe kind)."""
+    rt, n = t.shape
+    pts = (o[:, None, :] + t[..., None] * d[:, None, :]).reshape(rt * n, 3)
+    dirb = jnp.broadcast_to(d[:, None, :], (rt, n, 3)).reshape(rt * n, 3)
+    return pts, dirb
+
+
+def _ray_fwd_kernel(*refs, dtype):
+    o_ref, d_ref, ts_ref, ptsel_ref, dirsel_ref = refs[:5]
+    w = {name: refs[5 + i][:] for i, name in enumerate(_W_NAMES)}
+    b = {name: refs[5 + len(_W_NAMES) + i][:]
+         for i, name in enumerate(_B_NAMES)}
+    color_ref, sigma_ref = refs[-2], refs[-1]
+    w.update(b)
+
+    t = ts_ref[:]
+    pts, dirb = _expand_rays(o_ref[:], d_ref[:], t)
+    enc_pt = _encode(pts, ptsel_ref[:], dtype)
+    enc_dir = _encode(dirb, dirsel_ref[:], dtype)
+    color, sigma_pre = _forward_tile(w, enc_pt, enc_dir, dtype)
+    color_ref[:] = color.astype(jnp.float32)
+    # sigma leaves the kernel in the dense (rays, samples) layout the
+    # renderer consumes (get_density works on (B, N)) — emitting it packed
+    # with color as (rows, 4) costs ~1.8 ms/step of lane-padded slices and
+    # relayouts in XLA. The (rows, 1) -> (rt, N) reshape (sublanes->lanes)
+    # is the Mosaic-supported direction.
+    sigma_ref[:] = jnp.abs(sigma_pre).astype(jnp.float32).reshape(t.shape)
 
 
 def _flops_per_row() -> int:
@@ -274,85 +317,91 @@ def _bwd_kernel(*refs, dtype):
         for r in list(dw_refs.values()) + list(db_refs.values()):
             r[:] = jnp.zeros_like(r)
 
-    pts = pts_ref[:]
-    dirs = dirs_ref[:]
-    g = g_ref[:]                       # (T, 4) = [g_rgb, g_sigma]
+    d_pts, d_dirs = _bwd_core(pts_ref[:], dirs_ref[:], g_ref[:], ptsel,
+                              dirsel, w, dw_refs, db_refs, dtype)
+    dpts_ref[:] = d_pts
+    ddirs_ref[:] = d_dirs
+
+
+def _bwd_core(pts, dirs, g, ptsel, dirsel, w, dw_refs, db_refs, dtype):
+    """Shared backward math over one tile: recompute fwd, accumulate weight
+    grads into ``dw_refs/db_refs``, return (d_pts, d_dirs) each (T, 3) f32."""
     g_rgb = g[:, :3]
     g_sigma = g[:, 3:4]
 
-    # ---- recompute forward with activations kept in VMEM ----
+    # ---- recompute forward with activations + relu masks kept in VMEM ----
     scaled_pt = _scaled_coords(pts, ptsel)
     scaled_dir = _scaled_coords(dirs, dirsel)
     sin_pt, cos_pt = jnp.sin(scaled_pt), jnp.cos(scaled_pt)
     sin_dir, cos_dir = jnp.sin(scaled_dir), jnp.cos(scaled_dir)
     enc_pt = jnp.concatenate([sin_pt, cos_pt], axis=-1).astype(dtype)
     enc_dir = jnp.concatenate([sin_dir, cos_dir], axis=-1).astype(dtype)
-    color, sigma_pre, point_info, hd, acts = _forward_tile(
+    color, sigma_pre, point_info, hd, hd_mask, acts, masks = _forward_tile(
         w, enc_pt, enc_dir, dtype, keep_acts=True)
-    # acts: [h0, h1, h2, h3, h4, h5, h6, h7]
+    # acts/masks: per trunk layer 0..7
 
     cast = lambda x: x.astype(dtype)
     prec = _prec(dtype)
     dT = lambda a, gg: jax.lax.dot_general(          # a^T @ g, f32 accum
         a, gg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         precision=prec)
-    mmT = lambda gg, ww: jax.lax.dot_general(        # g @ w^T
+    # dgrad chain: Mosaic requires a 32-bit matmul accumulator, so mmT emits
+    # f32; the relu mask multiply + single cast is fused right after (2 VPU
+    # passes per layer instead of the old cast/compare/mult/cast chain)
+    mmT = lambda gg, ww: jax.lax.dot_general(        # g @ w^T, f32 out
         gg, ww, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
         precision=prec)
+    mmT32 = mmT
+    fsum = lambda x: jnp.sum(x, axis=0, dtype=jnp.float32)
 
     # ---- heads ----
     g_col_pre = cast(g_rgb * color * (1.0 - color))             # sigmoid'
     dw_refs["wcol"][:] += dT(hd, g_col_pre)
-    db_refs["bcol"][:] += jnp.sum(g_col_pre.astype(jnp.float32), axis=0)
+    db_refs["bcol"][:] += fsum(g_col_pre)
 
-    g_hd = cast(mmT(g_col_pre, w["wcol"])
-               * (hd.astype(jnp.float32) > 0))              # relu'
+    g_hd = cast(mmT(g_col_pre, w["wcol"]) * hd_mask)             # relu'
     dw_refs["wde"][:] += dT(enc_dir, g_hd)
     dw_refs["wdp"][:] += dT(point_info, g_hd)
-    db_refs["bd"][:] += jnp.sum(g_hd.astype(jnp.float32), axis=0)
-    g_enc_dir = mmT(g_hd, w["wde"])                             # (T, 24) f32
+    db_refs["bd"][:] += fsum(g_hd)
+    g_enc_dir = mmT32(g_hd, w["wde"])                           # (T, 24) f32
     g_pi = cast(mmT(g_hd, w["wdp"]))
 
     g_sig_pre = cast(g_sigma * jnp.sign(sigma_pre))             # d|x|
     h7 = acts[7]
     dw_refs["wsig"][:] += dT(h7, g_sig_pre)
-    db_refs["bsig"][:] += jnp.sum(g_sig_pre.astype(jnp.float32), axis=0)
+    db_refs["bsig"][:] += fsum(g_sig_pre)
     dw_refs["wpi"][:] += dT(h7, g_pi)
-    db_refs["bpi"][:] += jnp.sum(g_pi.astype(jnp.float32), axis=0)
+    db_refs["bpi"][:] += fsum(g_pi)
 
-    g_h = cast(mmT(g_sig_pre, w["wsig"]) + mmT(g_pi, w["wpi"]))
+    g_h = mmT(g_sig_pre, w["wsig"]) + mmT(g_pi, w["wpi"])  # f32
 
     # ---- trunk, layers 7..5 ----
     for i in (7, 6, 5):
-        g_pre = cast(g_h.astype(jnp.float32)
-                     * (acts[i].astype(jnp.float32) > 0))
+        g_pre = cast(g_h * masks[i])
         dw_refs[f"w{i}"][:] += dT(acts[i - 1], g_pre)
-        db_refs[f"b{i}"][:] += jnp.sum(g_pre.astype(jnp.float32), axis=0)
-        g_h = cast(mmT(g_pre, w[f"w{i}"]))
+        db_refs[f"b{i}"][:] += fsum(g_pre)
+        g_h = mmT(g_pre, w[f"w{i}"])
 
     # ---- skip layer 4 ----
-    g_pre4 = cast(g_h.astype(jnp.float32)
-                  * (acts[4].astype(jnp.float32) > 0))
+    g_pre4 = cast(g_h * masks[4])
     dw_refs["w4h"][:] += dT(acts[3], g_pre4)
     dw_refs["w4e"][:] += dT(enc_pt, g_pre4)
-    db_refs["b4"][:] += jnp.sum(g_pre4.astype(jnp.float32), axis=0)
-    g_h = cast(mmT(g_pre4, w["w4h"]))
-    g_enc_pt = mmT(g_pre4, w["w4e"])                            # (T, 60) f32
+    db_refs["b4"][:] += fsum(g_pre4)
+    g_h = mmT(g_pre4, w["w4h"])
+    g_enc_pt = mmT32(g_pre4, w["w4e"])                          # (T, 60) f32
 
     # ---- layers 3..1 ----
     for i in (3, 2, 1):
-        g_pre = cast(g_h.astype(jnp.float32)
-                     * (acts[i].astype(jnp.float32) > 0))
+        g_pre = cast(g_h * masks[i])
         dw_refs[f"w{i}"][:] += dT(acts[i - 1], g_pre)
-        db_refs[f"b{i}"][:] += jnp.sum(g_pre.astype(jnp.float32), axis=0)
-        g_h = cast(mmT(g_pre, w[f"w{i}"]))
+        db_refs[f"b{i}"][:] += fsum(g_pre)
+        g_h = mmT(g_pre, w[f"w{i}"])
 
     # ---- layer 0 ----
-    g_pre0 = cast(g_h.astype(jnp.float32)
-                  * (acts[0].astype(jnp.float32) > 0))
+    g_pre0 = cast(g_h * masks[0])
     dw_refs["w0"][:] += dT(enc_pt, g_pre0)
-    db_refs["b0"][:] += jnp.sum(g_pre0.astype(jnp.float32), axis=0)
-    g_enc_pt = g_enc_pt + mmT(g_pre0, w["w0"])
+    db_refs["b0"][:] += fsum(g_pre0)
+    g_enc_pt = g_enc_pt + mmT32(g_pre0, w["w0"])
 
     # ---- through the encoding to the coordinates ----
     L3p, L3d = 3 * L_POINT, 3 * L_DIR
@@ -360,16 +409,51 @@ def _bwd_kernel(*refs, dtype):
                    - g_enc_pt[:, L3p:] * sin_pt)
     g_scaled_dir = (g_enc_dir[:, :L3d] * cos_dir
                     - g_enc_dir[:, L3d:] * sin_dir)
-    dpts_ref[:] = jax.lax.dot_general(
+    d_pts = jax.lax.dot_general(
         g_scaled_pt, ptsel, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    ddirs_ref[:] = jax.lax.dot_general(
+    d_dirs = jax.lax.dot_general(
         g_scaled_dir, dirsel, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
     # (d_pts/d_dirs stay HIGHEST: two tiny matmuls, and the resampler
     # gradient path deserves full precision)
+    return d_pts, d_dirs
+
+
+def _ray_bwd_kernel(*refs, dtype):
+    o_ref, d_ref, ts_ref, g_ref, ptsel_ref, dirsel_ref = refs[:6]
+    ptsel, dirsel = ptsel_ref[:], dirsel_ref[:]
+    w = {name: refs[6 + i][:] for i, name in enumerate(_W_NAMES)}
+    b = {name: refs[6 + len(_W_NAMES) + i][:]
+         for i, name in enumerate(_B_NAMES)}
+    w.update(b)
+    n_in = 6 + len(_W_NAMES) + len(_B_NAMES)
+    # outputs: d_origins, d_dirs (per ray), d_ts, dW..., db...
+    do_ref, dd_ref, dts_ref = refs[n_in], refs[n_in + 1], refs[n_in + 2]
+    dw_refs = {name: refs[n_in + 3 + i] for i, name in enumerate(_W_NAMES)}
+    db_refs = {name: refs[n_in + 3 + len(_W_NAMES) + i]
+               for i, name in enumerate(_B_NAMES)}
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in list(dw_refs.values()) + list(db_refs.values()):
+            r[:] = jnp.zeros_like(r)
+
+    o, d, t = o_ref[:], d_ref[:], ts_ref[:]
+    rt, n = t.shape
+    pts, dirb = _expand_rays(o, d, t)
+    d_pts, d_dirs = _bwd_core(pts, dirb, g_ref[:], ptsel, dirsel, w,
+                              dw_refs, db_refs, dtype)
+    # chain rule through pts = o + t*d, dirs = broadcast(d): reduce the
+    # per-sample coordinate grads to per-ray / per-sample-t grads in VMEM —
+    # these (RT, N) / (RT, 3) outputs are what hit HBM, never (R, 3)
+    d_pts3 = d_pts.reshape(rt, n, 3)
+    d_dir3 = d_dirs.reshape(rt, n, 3)
+    dts_ref[:] = jnp.sum(d_pts3 * d[:, None, :], axis=2)       # (RT, N)
+    do_ref[:] = jnp.sum(d_pts3, axis=1)                        # (RT, 3)
+    dd_ref[:] = jnp.sum(d_pts3 * t[..., None] + d_dir3, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "compute_dtype"))
@@ -502,3 +586,164 @@ def field_pallas(params, points: jnp.ndarray, dirs: jnp.ndarray,
 def field_pallas_f32(params, points, dirs):
     """fp32-compute variant (slower, tighter parity with field_jnp)."""
     return field_pallas(params, points, dirs, compute_dtype=jnp.float32)
+
+
+# ----------------------------------------------------------------------------
+# ray-major entry: (origins, dirs, ts) in, per-ray grads out. The renderer's
+# hot path — no (R, 3) per-sample coordinate arrays ever touch HBM.
+# ----------------------------------------------------------------------------
+
+
+def _ray_tile(n_samples: int) -> int:
+    """Rays per grid step: targets ~1024 sample rows per tile (the measured
+    bwd sweet spot) while keeping rows a multiple of 8 sublanes."""
+    rt = max(1, 1024 // n_samples)
+    return ((rt + 7) // 8) * 8
+
+
+def _pad_rays(x, rt):
+    b = x.shape[0]
+    pad = (-b) % rt
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x, b
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "compute_dtype"))
+def _fused_ray_forward(packed, origins, dirs, ts, ray_tile: int,
+                       compute_dtype=jnp.bfloat16):
+    """origins/dirs (B, 3), ts (B, N) -> out (B*N, 4). B % ray_tile == 0."""
+    B, N = ts.shape
+    rows = ray_tile * N
+    grid = (B // ray_tile,)
+    ray3 = pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rayn = pl.BlockSpec((ray_tile, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+    w_ops = [packed[n] for n in _W_NAMES]
+    b_ops = [packed[n] for n in _B_NAMES]
+    sels = [jnp.asarray(_POINT_SEL), jnp.asarray(_DIR_SEL)]
+    return pl.pallas_call(
+        functools.partial(_ray_fwd_kernel, dtype=compute_dtype),
+        grid=grid,
+        in_specs=[ray3, ray3, rayn] + [full(a) for a in sels + w_ops + b_ops],
+        out_specs=[pl.BlockSpec((rows, 3), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   rayn],
+        out_shape=[jax.ShapeDtypeStruct((B * N, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=_flops_per_row() * B * N,
+            bytes_accessed=B * (N + 10) * 4 + 600_000 * 2,
+            transcendentals=B * N * (3 * (L_POINT + L_DIR) * 2 + 4)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(origins, dirs, ts, *sels, *w_ops, *b_ops)
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "compute_dtype"))
+def _fused_ray_backward(packed, origins, dirs, ts, g, ray_tile: int,
+                        compute_dtype=jnp.bfloat16):
+    """g (B*N, 4) cotangents -> (d_origins, d_dirs, d_ts, dws, dbs)."""
+    B, N = ts.shape
+    rows = ray_tile * N
+    grid = (B // ray_tile,)
+    ray3 = pl.BlockSpec((ray_tile, 3), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rayn = pl.BlockSpec((ray_tile, N), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    row4 = pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+    w_ops = [packed[n] for n in _W_NAMES]
+    b_ops = [packed[n] for n in _B_NAMES]
+    sels = [jnp.asarray(_POINT_SEL), jnp.asarray(_DIR_SEL)]
+
+    dw_shapes = [jax.ShapeDtypeStruct(packed[n].shape, jnp.float32)
+                 for n in _W_NAMES]
+    db_shapes = [jax.ShapeDtypeStruct(packed[n].shape, jnp.float32)
+                 for n in _B_NAMES]
+    out_shapes = ([jax.ShapeDtypeStruct((B, 3), jnp.float32)] * 2
+                  + [jax.ShapeDtypeStruct((B, N), jnp.float32)]
+                  + dw_shapes + db_shapes)
+    out_specs = ([ray3, ray3, rayn]
+                 + [full(s) for s in dw_shapes + db_shapes])
+
+    outs = pl.pallas_call(
+        functools.partial(_ray_bwd_kernel, dtype=compute_dtype),
+        grid=grid,
+        in_specs=[ray3, ray3, rayn, row4]
+        + [full(a) for a in sels + w_ops + b_ops],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * _flops_per_row() * B * N,
+            bytes_accessed=B * (2 * N + 16) * 4 + 600_000 * 6,
+            transcendentals=B * N * (3 * (L_POINT + L_DIR) * 2 + 4)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=INTERPRET,
+    )(origins, dirs, ts, g, *sels, *w_ops, *b_ops)
+
+    d_o, d_d, d_ts = outs[0], outs[1], outs[2]
+    dws = dict(zip(_W_NAMES, outs[3:3 + len(_W_NAMES)]))
+    dbs = dict(zip(_B_NAMES, outs[3 + len(_W_NAMES):]))
+    return d_o, d_d, d_ts, dws, dbs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ray_field(params, origins, dirs, ts, compute_dtype):
+    rt = _ray_tile(ts.shape[1])
+    o_p, B = _pad_rays(origins, rt)
+    d_p, _ = _pad_rays(dirs, rt)
+    t_p, _ = _pad_rays(ts, rt)
+    packed = pack_params(params, compute_dtype)
+    N = ts.shape[1]
+    color, sigma = _fused_ray_forward(packed, o_p, d_p, t_p, ray_tile=rt,
+                                      compute_dtype=compute_dtype)
+    return color[:B * N].reshape(B, N, 3), sigma[:B]
+
+
+def _ray_field_fwd(params, origins, dirs, ts, compute_dtype):
+    out = _ray_field(params, origins, dirs, ts, compute_dtype)
+    return out, (params, origins, dirs, ts)
+
+
+def _ray_field_bwd(compute_dtype, residuals, cotangents):
+    params, origins, dirs, ts = residuals
+    g_rgb, g_sigma = cotangents          # (B, N, 3), (B, N)
+    B, N = ts.shape
+    g = jnp.concatenate([g_rgb, g_sigma[..., None]], axis=-1).reshape(
+        B * N, 4)
+    rt = _ray_tile(N)
+    o_p, _ = _pad_rays(origins, rt)
+    d_p, _ = _pad_rays(dirs, rt)
+    t_p, _ = _pad_rays(ts, rt)
+    g_p, _ = _pad_rays(g.reshape(B, N * 4), rt)  # pad by rays, rows follow
+    g_p = g_p.reshape(-1, 4)
+    packed = pack_params(params, compute_dtype)
+    d_o, d_d, d_ts, dws, dbs = _fused_ray_backward(
+        packed, o_p, d_p, t_p, g_p, ray_tile=rt,
+        compute_dtype=compute_dtype)
+    return (_unpack_grads(dws, dbs), d_o[:B], d_d[:B], d_ts[:B])
+
+
+_ray_field.defvjp(_ray_field_fwd, _ray_field_bwd)
+
+
+def field_pallas_rays(params, origins: jnp.ndarray, dirs: jnp.ndarray,
+                      ts: jnp.ndarray, compute_dtype=jnp.bfloat16,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray-major fused field: evaluates the network at ``origin + t * dir``
+    for every (ray, sample) pair. origins/dirs (B, 3), ts (B, N) ->
+    (color (B, N, 3), sigma (B, N) — dense 2-D, NOT (B, N, 1)).
+
+    The per-sample point/direction expansion and its backward reduction
+    happen inside the kernel, so the (B*N, 3) coordinate tensors — which XLA
+    tiles with 3 of 128 lanes used — never exist in HBM. Gradients flow to
+    origins, dirs AND ts (the resampler path, Q8)."""
+    return _ray_field(params, origins.astype(jnp.float32),
+                      dirs.astype(jnp.float32), ts.astype(jnp.float32),
+                      compute_dtype)

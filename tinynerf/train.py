@@ -53,9 +53,13 @@ def make_field_fn(cfg: Config) -> render.FieldFn:
     otherwise, with optional bf16 compute (fp32 params/geometry)."""
     if cfg.use_pallas and jax.default_backend() == "tpu":
         import functools
-        from tinynerf.kernels.mlp_kernel import field_pallas
+        from tinynerf.kernels.mlp_kernel import field_pallas, field_pallas_rays
         dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
-        return functools.partial(field_pallas, compute_dtype=dtype)
+        fn = functools.partial(field_pallas, compute_dtype=dtype)
+        # renderer fast path: fused ray->point expansion (render._eval_field)
+        fn.eval_rays = functools.partial(field_pallas_rays,
+                                         compute_dtype=dtype)
+        return fn
     if cfg.precision == "bf16":
         def bf16_field(params, points, dirs):
             color, sigma = render.field_jnp(
