@@ -1,0 +1,112 @@
+"""Free-viewpoint camera paths for video rendering (beyond the reference,
+which only replays the test split, ``nerf.py:503-530``).
+
+Two scene-appropriate generators, both emitting the framework's native
+(N, 17) pose-row format so the render stack consumes them unchanged:
+
+- :func:`orbit_path` — a constant-radius 360-degree orbit looking at the
+  origin, matched to the training cameras' radius/elevation (Blender-style
+  inward-facing rigs);
+- :func:`spiral_path` — the standard LLFF spiral around the average camera
+  for forward-facing captures, with degeneracy fallbacks so an inward 360
+  rig still produces well-formed poses.
+
+``res_scale`` scales the h/w/f column, so a 2x path renders e.g. a
+1600x1600-class video from 800-class training intrinsics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tinynerf.data.poses import average_pose, view_matrix, _normalize
+
+
+def _rows_from_c2ws(c2ws: np.ndarray, hwf: np.ndarray, near: float,
+                    far: float) -> np.ndarray:
+    n = c2ws.shape[0]
+    rows = np.zeros((n, 17))
+    for i in range(n):
+        pose = np.concatenate([c2ws[i], hwf.reshape(3, 1)], axis=1)
+        rows[i] = np.concatenate([pose.flatten(), [near, far]])
+    return rows
+
+
+def _split_rows(pose_rows: np.ndarray):
+    c2ws = pose_rows[:, :15].reshape(-1, 3, 5)[:, :, :4]
+    hwf = pose_rows[0, :15].reshape(3, 5)[:, 4]
+    near = float(pose_rows[:, 15].min())
+    far = float(pose_rows[:, 16].max())
+    return c2ws, hwf, near, far
+
+
+def orbit_path(pose_rows: np.ndarray, n_views: int = 120,
+               res_scale: float = 1.0) -> np.ndarray:
+    """360-degree orbit at the training cameras' mean radius and elevation,
+    every camera looking exactly at the origin (back axis == position/r)."""
+    c2ws, hwf, near, far = _split_rows(np.asarray(pose_rows, np.float64))
+    centers = c2ws[:, :, 3]
+    radii = np.linalg.norm(centers, axis=1)
+    radius = float(radii.mean())
+    if radius < 1e-6:
+        radius = 0.5 * (near + far)
+    # mean elevation, clamped away from the poles so `up` stays transverse
+    elev = float(np.arcsin(np.clip(centers[:, 1] / np.maximum(radii, 1e-9),
+                                   -1.0, 1.0)).mean())
+    elev = float(np.clip(elev, -1.4, 1.4))
+    up = np.array([0.0, 1.0, 0.0])
+
+    out = np.zeros((n_views, 3, 4))
+    for i, theta in enumerate(np.linspace(0.0, 2.0 * np.pi, n_views,
+                                          endpoint=False)):
+        pos = radius * np.array([np.sin(theta) * np.cos(elev),
+                                 np.sin(elev),
+                                 np.cos(theta) * np.cos(elev)])
+        out[i] = view_matrix(pos, up, pos)  # back == normalized position
+    return _rows_from_c2ws(out, hwf * res_scale, near, far)
+
+
+def spiral_path(pose_rows: np.ndarray, n_views: int = 120,
+                res_scale: float = 1.0, rots: float = 2.0,
+                zrate: float = 0.5) -> np.ndarray:
+    """LLFF-style spiral around the average camera of a forward-facing rig.
+
+    Radii come from the 90th percentile of the camera offsets expressed in
+    the average camera's frame; the look target sits at the standard LLFF
+    focus depth blended from the scene bounds. All constructions normalize,
+    so the emitted rotations are orthonormal even on degenerate rigs.
+    """
+    c2ws, hwf, near, far = _split_rows(np.asarray(pose_rows, np.float64))
+    avg = average_pose(c2ws)                      # (3, 4) [right up back | pos]
+    up = _normalize(c2ws[:, :, 1].sum(axis=0),
+                    fallback=np.array([0.0, 1.0, 0.0]))
+
+    # camera offsets in the average frame -> spiral radii
+    rel = (c2ws[:, :, 3] - avg[:, 3]) @ avg[:, :3]      # (N, 3)
+    rads = np.percentile(np.abs(rel), 90, axis=0) + 1e-3
+
+    # focus depth (LLFF dt = 0.75 blend of close/infinity planes)
+    close_depth, inf_depth = max(near * 0.9, 1e-3), far * 5.0
+    dt = 0.75
+    focus = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
+    look = avg[:, :3] @ np.array([0.0, 0.0, -focus]) + avg[:, 3]
+
+    out = np.zeros((n_views, 3, 4))
+    thetas = np.linspace(0.0, 2.0 * np.pi * rots, n_views, endpoint=False)
+    for i, theta in enumerate(thetas):
+        offset = np.array([np.cos(theta) * rads[0],
+                           -np.sin(theta) * rads[1],
+                           -np.sin(theta * zrate) * rads[2]])
+        pos = avg[:, :3] @ offset + avg[:, 3]
+        back = _normalize(pos - look, fallback=avg[:, 2])
+        out[i] = view_matrix(back, up, pos)
+    return _rows_from_c2ws(out, hwf * res_scale, near, far)
+
+
+def make_path(pose_rows: np.ndarray, data_type: str, n_views: int = 120,
+              res_scale: float = 1.0) -> np.ndarray:
+    """Scene-appropriate path: spiral for forward-facing llff captures,
+    orbit for inward-facing synthetic rigs."""
+    if data_type == "llff":
+        return spiral_path(pose_rows, n_views, res_scale=res_scale)
+    return orbit_path(pose_rows, n_views, res_scale=res_scale)
