@@ -74,7 +74,13 @@ def num_params(params: Params) -> int:
 
 
 def _linear(p: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
-    return x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+    # HIGHEST: XLA's TPU default multiplies f32 at bf16 precision, which is
+    # enough gradient noise to destabilize high-LR training (the Pallas fast
+    # path requests full precision internally for the same reason). For bf16
+    # inputs (precision="bf16" configs) HIGHEST is the same single MXU pass.
+    return (jnp.matmul(x, p["w"].astype(x.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+            + p["b"].astype(x.dtype))
 
 
 def apply_network(params: Params, point_enc: jnp.ndarray, dir_enc: jnp.ndarray,

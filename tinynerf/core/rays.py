@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -64,11 +65,17 @@ def pixels_to_rays(rows: jnp.ndarray, cols: jnp.ndarray, pose17: jnp.ndarray,
         [rows.astype(dtype), cols.astype(dtype), jnp.ones_like(rows, dtype=dtype)],
         axis=-1,
     )  # (B, 3) — (row, col, 1): Q12 transposition preserved
-    d_cam = xy_hom @ k_inv  # (B, 3)
+    # geometry matmuls are pinned to full f32 precision: XLA's TPU default
+    # runs f32 dots at bf16 precision, and the resulting ~0.4% ray-direction
+    # error is enough supervision inconsistency to collapse training at high
+    # LR (verified: identical config converges on CPU, diverges to black on
+    # TPU without this). These are (B,3)x(3,3) ops — HIGHEST costs nothing.
+    d_cam = jnp.matmul(xy_hom, k_inv, precision=jax.lax.Precision.HIGHEST)
     d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
     rot = c2w[:, :3, :3].astype(dtype)
     origins = c2w[:, :3, 3].astype(dtype)
-    d_world = jnp.einsum("bij,bj->bi", rot, d_cam)
+    d_world = jnp.einsum("bij,bj->bi", rot, d_cam,
+                         precision=jax.lax.Precision.HIGHEST)
     return origins, d_world, near.astype(dtype), far.astype(dtype)
 
 
