@@ -68,6 +68,8 @@ class Config:
     occ_extent: float = 1.5           # grid half-extent (world units)
     occ_thresh: float = 0.01          # sigma cutoff for "occupied"
     occ_update_every: int = 256       # grid EMA refresh cadence (steps)
+    occ_subset: float = 0.125         # fraction of cells probed per refresh
+                                      # (1.0 = full sweep; NerfAcc-style)
 
     @property
     def total_samples(self) -> int:
@@ -77,7 +79,8 @@ class Config:
 _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
              "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY"}
-_FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH"}
+_FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
+               "OCC_SUBSET"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID"}
 _KEY_TO_FIELD = {
@@ -96,6 +99,7 @@ _KEY_TO_FIELD = {
     "PROFILE_STEPS": "profile_steps", "WHITE_BKGD": "white_bkgd",
     "OCC_GRID": "occ_grid", "OCC_RES": "occ_res", "OCC_EXTENT": "occ_extent",
     "OCC_THRESH": "occ_thresh", "OCC_UPDATE_EVERY": "occ_update_every",
+    "OCC_SUBSET": "occ_subset",
 }
 
 

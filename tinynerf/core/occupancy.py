@@ -25,15 +25,19 @@ import jax.numpy as jnp
 
 
 class OccGrid(NamedTuple):
-    density: jnp.ndarray   # (R, R, R) EMA of field sigma at cell centers
+    density: jnp.ndarray   # (R, R, R) dilated query grid (what rays test)
+    raw: jnp.ndarray       # (R, R, R) undilated EMA of sigma at cell centers
     half_extent: jnp.ndarray  # scalar: grid spans [-h, h]^3
     threshold: jnp.ndarray    # occupancy cutoff on sigma
 
 
 def init_grid(resolution: int = 64, half_extent: float = 1.5,
               threshold: float = 0.01) -> OccGrid:
+    # inf = "assume occupied": tighten_bounds is a no-op until cells are
+    # actually probed, so a partially-refreshed grid is always conservative
     return OccGrid(
         density=jnp.full((resolution,) * 3, jnp.inf, jnp.float32),
+        raw=jnp.full((resolution,) * 3, jnp.inf, jnp.float32),
         half_extent=jnp.asarray(half_extent, jnp.float32),
         threshold=jnp.asarray(threshold, jnp.float32))
 
@@ -46,36 +50,67 @@ def cell_centers(resolution: int, half_extent: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * half_extent
 
 
-def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
-                ema: float = 0.8, chunk: int = 65536) -> OccGrid:
-    """EMA-update the grid from the current field (one jittered sample per
-    cell). Cost: R^3 field evals — 262k for R=64, a fraction of one train
-    step."""
-    res = grid.density.shape[0]
-    centers = cell_centers(res, grid.half_extent)
-    cell = 2.0 * grid.half_extent / res
-    jitter = (jax.random.uniform(key, centers.shape) - 0.5) * cell
-    pts = centers + jitter
+def _dilate(raw: jnp.ndarray) -> jnp.ndarray:
+    """Conservative 3x3x3 dilation: a single jittered sample per cell can
+    miss thin geometry at cell boundaries; taking the neighborhood max keeps
+    surface-adjacent cells occupied (standard occupancy-grid practice).
+    inf (never-probed) cells stay inf and spread — conservative."""
+    return jax.lax.reduce_window(
+        raw, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
 
-    def eval_chunk(p):
+
+def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
+                ema: float = 0.8, chunk: int = 65536,
+                subset: Optional[int] = None) -> OccGrid:
+    """EMA-update the grid from the current field (one jittered sample per
+    cell), then re-derive the dilated query grid.
+
+    ``subset=None`` probes every cell (R^3 field evals — 262k for R=64).
+    ``subset=K`` probes K uniformly-random cells (NerfAcc-style partial
+    refresh, cf. PAPERS.md): per-refresh cost drops R^3/K-fold while every
+    cell still gets re-probed every ~R^3/K refreshes in expectation.
+    Untouched cells keep their EMA value (inf until first probe = occupied).
+    """
+    res = grid.density.shape[0]
+    n_total = res ** 3
+    cell = 2.0 * grid.half_extent / res
+
+    def eval_sigma(p):
         _c, sigma = field_fn(params, p, jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0], p.dtype), p.shape))
         return jnp.squeeze(sigma, axis=-1)
 
-    n = pts.shape[0]
-    if n > chunk and n % chunk == 0:
-        sig = jax.lax.map(eval_chunk, pts.reshape(-1, chunk, 3)).reshape(-1)
+    def eval_chunked(p):
+        n = p.shape[0]
+        if n > chunk and n % chunk == 0:
+            return jax.lax.map(eval_sigma, p.reshape(-1, chunk, 3)).reshape(-1)
+        return eval_sigma(p)
+
+    if subset is None or subset >= n_total:
+        kjit = key
+        centers = cell_centers(res, grid.half_extent)
+        jitter = (jax.random.uniform(kjit, centers.shape) - 0.5) * cell
+        sig = eval_chunked(centers + jitter)
+        new = sig.reshape(grid.raw.shape)
+        old = jnp.where(jnp.isinf(grid.raw), new, grid.raw)
+        raw = ema * old + (1.0 - ema) * new
     else:
-        sig = eval_chunk(pts)
-    new = sig.reshape(grid.density.shape)
-    # conservative 3x3x3 dilation: a single jittered sample per cell can miss
-    # thin geometry at cell boundaries; taking the neighborhood max keeps
-    # surface-adjacent cells occupied (standard occupancy-grid practice)
-    new = jax.lax.reduce_window(
-        new, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME")
-    # first update replaces the inf initialization entirely
-    old = jnp.where(jnp.isinf(grid.density), new, grid.density)
-    return grid._replace(density=ema * old + (1.0 - ema) * new)
+        kidx, kjit = jax.random.split(key)
+        flat_idx = jax.random.randint(kidx, (subset,), 0, n_total)
+        # decode x-major flat index (matches tighten_bounds' layout)
+        ix = flat_idx // (res * res)
+        iy = (flat_idx // res) % res
+        iz = flat_idx % res
+        idx3 = jnp.stack([ix, iy, iz], axis=-1).astype(jnp.float32)
+        ctr = ((idx3 + 0.5) / res * 2.0 - 1.0) * grid.half_extent
+        pts = ctr + (jax.random.uniform(kjit, ctr.shape) - 0.5) * cell
+        sig = eval_chunked(pts)
+        old_vals = grid.raw.reshape(-1)[flat_idx]
+        upd = jnp.where(jnp.isinf(old_vals), sig,
+                        ema * old_vals + (1.0 - ema) * sig)
+        raw = grid.raw.reshape(-1).at[flat_idx].set(upd).reshape(
+            grid.raw.shape)
+    return grid._replace(raw=raw, density=_dilate(raw))
 
 
 def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,

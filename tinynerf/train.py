@@ -96,9 +96,12 @@ def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key):
     if state.occ is None:
         return state.occ
     from tinynerf.core.occupancy import update_grid
+    n_total = cfg.occ_res ** 3
+    subset = (None if cfg.occ_subset >= 1.0
+              else max(1, int(n_total * cfg.occ_subset)))
 
     def do(g):
-        return update_grid(g, state.params, field_fn, key)
+        return update_grid(g, state.params, field_fn, key, subset=subset)
 
     return jax.lax.cond(
         state.iteration % cfg.occ_update_every == 0, do, lambda g: g,
