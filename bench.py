@@ -44,6 +44,9 @@ def main() -> None:
                         choices=["fp32", "bf16"])
     parser.add_argument("--no-pallas", action="store_true",
                         help="use the pure-jnp field instead of the fused kernel")
+    parser.add_argument("--fused", action="store_true",
+                        help="EXPERIMENTAL whole-renderer fusion (measured "
+                             "slower; see kernels/render_kernel.py)")
     parser.add_argument("--metric", type=str, default="train",
                         choices=["train", "render"],
                         help="train rays/sec (default) or 800x800 sec/frame")
@@ -66,7 +69,8 @@ def main() -> None:
     seed = int.from_bytes(os.urandom(4), "little")
     cfg = Config(batch_ray=args.batch, n_coarse=args.coarse,
                  n_fine=args.fine, precision=args.precision,
-                 use_pallas=not args.no_pallas, seed=seed)
+                 use_pallas=not args.no_pallas,
+                 fused_render=args.fused, seed=seed)
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)

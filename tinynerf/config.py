@@ -53,6 +53,9 @@ class Config:
     seed: int = 624                   # reference seeds everything with 624 (nerf.py:50)
     precision: str = "fp32"           # "fp32" | "bf16" compute precision
     use_pallas: bool = True           # fused Pallas kernels on TPU (auto-off on CPU)
+    fused_render: bool = False        # EXPERIMENTAL one-kernel renderer; measured
+                                      # slower than the per-pass kernels (see
+                                      # kernels/render_kernel.py) — opt-in only
     compat_sort: bool = False         # reproduce reference's per-channel sort (Q4)
     stratified: bool = False          # jittered coarse samples (off = reference Q7)
     ndc: bool = False                 # NDC warp for llff (opt-in, north-star config)
@@ -82,7 +85,7 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
-              "HOST_FEED", "WHITE_BKGD", "OCC_GRID"}
+              "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -92,6 +95,7 @@ _KEY_TO_FIELD = {
     "DATA_TYPE": "data_type", "STEP": "step", "DECAY_END": "decay_end",
     "SCHED": "sched", "CONTINUE": "continue_",
     "SEED": "seed", "PRECISION": "precision", "USE_PALLAS": "use_pallas",
+    "FUSED_RENDER": "fused_render",
     "COMPAT_SORT": "compat_sort", "STRATIFIED": "stratified", "NDC": "ndc",
     "MESH_SHAPE": "mesh_shape", "LOG_DIR": "log_dir",
     "RENDER_CHUNK": "render_chunk",

@@ -195,6 +195,20 @@ def render_rays(params: mlp.Params,
         near = jnp.zeros_like(near)
         far = jnp.ones_like(far)
 
+    # ---- EXPERIMENTAL fused path (opt-in FUSED_RENDER, default off): the
+    # whole coarse -> resample -> fine -> merged-composite pipeline as ONE
+    # Pallas kernel, numerically the "twolist" merge below. Measured SLOWER
+    # than the per-pass kernels + XLA tail at production shapes (training
+    # 35.5k vs 108.5k rays/s; 800x800 frame 4.76 s vs 1.71 s) — see
+    # tinynerf/kernels/render_kernel.py for the full analysis. Gated on
+    # merge_impl so an opted-in run only uses it for grad-free renders.
+    fused = getattr(field_fn, "render_fused", None)
+    if (fused is not None and n_fine > 0 and not compat_sort
+            and merge_impl == "twolist"):
+        t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
+        return fused(params, origins, dirs, t_co, near, far, n_fine=n_fine,
+                     white_bkgd=white_bkgd)
+
     # ---- coarse pass (nerf.py:288-295) ----
     t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
     color_co, sigma_co = _eval_field(field_fn, params, origins, dirs, t_co)

@@ -56,11 +56,39 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
 
     With ``batch_sharding`` (a NamedSharding over the ray axis) each chunk is
     partitioned across the mesh — the pod-scale eval path: devices march
-    disjoint pixel spans and XLA gathers the tiles (SURVEY.md §2.17)."""
+    disjoint pixel spans and XLA gathers the tiles (SURVEY.md §2.17).
+
+    With the fused Pallas renderer (single-chip, ``field_fn.render_fused``)
+    the frame is ONE kernel call over every pixel — the kernel's ray-tile
+    grid bounds memory by construction, and wrapping it in ``lax.map``
+    instead makes XLA's stacked-output loop fusion exceed the VMEM stack."""
     if field_fn is None:
         from tinynerf.train import make_field_fn
         field_fn = make_field_fn(cfg)
     num_pix = height * width
+
+    if (getattr(field_fn, "render_fused", None) is not None
+            and batch_sharding is None and not cfg.compat_sort
+            and cfg.n_fine > 0):
+        rr, cc = np.meshgrid(np.arange(height, dtype=np.float32),
+                             np.arange(width, dtype=np.float32),
+                             indexing="ij")
+        rows_f = jnp.asarray(rr.reshape(-1))
+        cols_f = jnp.asarray(cc.reshape(-1))
+
+        @jax.jit
+        def frame_fused(params, pose17_row):
+            pose = jnp.broadcast_to(pose17_row.astype(jnp.float32),
+                                    (num_pix, 17))
+            _, c_fine = render.render_rays(
+                params, rows_f, cols_f, pose, k_inv, cfg.n_coarse,
+                cfg.n_fine, field_fn=field_fn, ndc_params=ndc_params,
+                merge_impl="twolist", white_bkgd=cfg.white_bkgd,
+                occ_grid=occ_grid)
+            return c_fine.reshape(height, width, 3)
+
+        return frame_fused
+
     chunk = min(cfg.render_chunk, num_pix)
     if batch_sharding is not None:
         n_dev = len(batch_sharding.mesh.devices.flatten())

@@ -48,10 +48,11 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                       occ=occ)
 
 
-def make_field_fn(cfg: Config) -> render.FieldFn:
+def make_field_fn(cfg: Config, force_pallas: bool = False) -> render.FieldFn:
     """Pick the field evaluator: fused Pallas kernel on TPU, pure jnp
-    otherwise, with optional bf16 compute (fp32 params/geometry)."""
-    if cfg.use_pallas and jax.default_backend() == "tpu":
+    otherwise, with optional bf16 compute (fp32 params/geometry).
+    ``force_pallas`` bypasses the backend check (interpreter-mode tests)."""
+    if cfg.use_pallas and (force_pallas or jax.default_backend() == "tpu"):
         import functools
         from tinynerf.kernels.mlp_kernel import field_pallas, field_pallas_rays
         dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
@@ -59,6 +60,14 @@ def make_field_fn(cfg: Config) -> render.FieldFn:
         # renderer fast path: fused ray->point expansion (render._eval_field)
         fn.eval_rays = functools.partial(field_pallas_rays,
                                          compute_dtype=dtype)
+        if cfg.fused_render:
+            # EXPERIMENTAL (opt-in, default off): whole-renderer Pallas
+            # fusion for grad-free renders — measured slower than the
+            # per-pass kernels at production shapes; kept as a working
+            # reference (see tinynerf/kernels/render_kernel.py STATUS)
+            from tinynerf.kernels.render_kernel import render_fused
+            fn.render_fused = functools.partial(render_fused,
+                                                compute_dtype=dtype)
         return fn
     if cfg.precision == "bf16":
         def bf16_field(params, points, dirs):
