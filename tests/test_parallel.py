@@ -193,3 +193,35 @@ def test_sample_axis_prefix_scan_matches_cumsum(n_dev):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_sh), np.asarray(expected_c),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_occ_refresh_matches_unsharded():
+    """The occupancy refresh's cell evals partition over the mesh
+    (update_grid cell_sharding); results must equal the unsharded refresh."""
+    from tinynerf.core import occupancy
+
+    def field(params, points, dirs):
+        dist = jnp.linalg.norm(points, axis=-1, keepdims=True)
+        return jnp.ones(points.shape[:-1] + (3,)), jnp.where(dist < 0.5, 5.0, 0.0)
+
+    mesh = meshlib.make_mesh(8)
+    sharding = meshlib.batch_sharding(mesh)
+    key = jax.random.PRNGKey(4)
+    grid0 = occupancy.init_grid(resolution=16, half_extent=1.0)
+
+    plain = occupancy.update_grid(grid0, None, field, key, ema=0.0,
+                                  subset=1024)
+    sharded = jax.jit(lambda g: occupancy.update_grid(
+        g, None, field, key, ema=0.0, subset=1024,
+        cell_sharding=sharding))(grid0)
+    np.testing.assert_allclose(np.asarray(sharded.raw), np.asarray(plain.raw),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.density),
+                               np.asarray(plain.density), atol=1e-6)
+
+    # full-sweep path too (chunked eval under the constraint)
+    plain_f = occupancy.update_grid(grid0, None, field, key, ema=0.0)
+    sharded_f = jax.jit(lambda g: occupancy.update_grid(
+        g, None, field, key, ema=0.0, cell_sharding=sharding))(grid0)
+    np.testing.assert_allclose(np.asarray(sharded_f.density),
+                               np.asarray(plain_f.density), atol=1e-6)

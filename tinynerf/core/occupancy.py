@@ -61,7 +61,8 @@ def _dilate(raw: jnp.ndarray) -> jnp.ndarray:
 
 def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
                 ema: float = 0.8, chunk: int = 65536,
-                subset: Optional[int] = None) -> OccGrid:
+                subset: Optional[int] = None,
+                cell_sharding=None) -> OccGrid:
     """EMA-update the grid from the current field (one jittered sample per
     cell), then re-derive the dilated query grid.
 
@@ -70,6 +71,11 @@ def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
     refresh, cf. PAPERS.md): per-refresh cost drops R^3/K-fold while every
     cell still gets re-probed every ~R^3/K refreshes in expectation.
     Untouched cells keep their EMA value (inf until first probe = occupied).
+
+    ``cell_sharding`` (a NamedSharding over the leading axis, normally the
+    train step's ray sharding) constrains the probe points so XLA
+    partitions the field evals across the mesh — without it the refresh
+    replicates R^3 MLP evals on every device of a pod.
     """
     res = grid.density.shape[0]
     n_total = res ** 3
@@ -81,6 +87,8 @@ def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
         return jnp.squeeze(sigma, axis=-1)
 
     def eval_chunked(p):
+        if cell_sharding is not None:
+            p = jax.lax.with_sharding_constraint(p, cell_sharding)
         n = p.shape[0]
         if n > chunk and n % chunk == 0:
             return jax.lax.map(eval_sigma, p.reshape(-1, chunk, 3)).reshape(-1)

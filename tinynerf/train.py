@@ -99,9 +99,11 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
 
 
 
-def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key):
+def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key,
+                      cell_sharding=None):
     """In-graph occupancy-grid EMA refresh every cfg.occ_update_every steps
-    (lax.cond: the R^3 field sweep only executes on refresh steps)."""
+    (lax.cond: the R^3 field sweep only executes on refresh steps). With
+    ``cell_sharding`` the probe evals are partitioned across the mesh."""
     if state.occ is None:
         return state.occ
     from tinynerf.core.occupancy import update_grid
@@ -110,7 +112,8 @@ def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key):
               else max(1, int(n_total * cfg.occ_subset)))
 
     def do(g):
-        return update_grid(g, state.params, field_fn, key, subset=subset)
+        return update_grid(g, state.params, field_fn, key, subset=subset,
+                           cell_sharding=cell_sharding)
 
     return jax.lax.cond(
         state.iteration % cfg.occ_update_every == 0, do, lambda g: g,
@@ -132,7 +135,8 @@ def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
 
     def step(state: TrainState) -> Tuple[TrainState, dict]:
         key, bkey, skey, okey = jax.random.split(state.key, 4)
-        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey)
+        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey,
+                                cell_sharding=batch_sharding)
         batch = table.sample(bkey, cfg.batch_ray)
         if batch_sharding is not None:
             batch = jax.tree_util.tree_map(
@@ -170,7 +174,8 @@ def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
 
     def step(state: TrainState, batch) -> Tuple[TrainState, dict]:
         key, skey, okey = jax.random.split(state.key, 3)
-        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey)
+        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey,
+                                cell_sharding=batch_sharding)
         if batch_sharding is not None:
             batch = jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
