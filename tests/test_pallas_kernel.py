@@ -112,6 +112,9 @@ def test_ray_forward_matches_field_jnp(ray_data):
     s_ref = jnp.squeeze(s_ref, -1)  # eval_rays contract: sigma is (B, N)
     c_k, s_k = mk.field_pallas_rays(params, origins, dirs, ts,
                                     compute_dtype=jnp.float32)
+    # eval_rays contract: color is a (r, g, b) tuple of dense (B, N) planes
+    assert isinstance(c_k, tuple) and len(c_k) == 3
+    c_k = jnp.stack(c_k, axis=-1)
     assert c_k.shape == c_ref.shape and s_k.shape == s_ref.shape
     np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_ref), atol=1e-5)
@@ -131,7 +134,7 @@ def test_ray_vjp_matches_autodiff(ray_data):
 
     def loss_k(p, o, d, t):
         c, s = mk.field_pallas_rays(p, o, d, t, compute_dtype=jnp.float32)
-        return jnp.sum(c * g_c) + jnp.sum(s * g_s)
+        return jnp.sum(jnp.stack(c, axis=-1) * g_c) + jnp.sum(s * g_s)
 
     gref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(params, origins, dirs, ts)
     gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(params, origins, dirs, ts)

@@ -57,14 +57,30 @@ def get_density(delta: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     return transmittance * (1.0 - jnp.exp(-sigma_delta))
 
 
-def composite(weights: jnp.ndarray, color: jnp.ndarray) -> jnp.ndarray:
-    """Sum_i w_i * rgb_i (``nerf.py:274-281``). (B,N),(B,N,3) -> (B,3)."""
-    return jnp.sum(weights[..., None] * color, axis=1)
+def _as_channels(color) -> Tuple[jnp.ndarray, ...]:
+    """Normalize a color representation to the per-channel tuple form.
+
+    The hot path carries color as a tuple of three dense (B, N) planes —
+    the layout the Pallas ray kernels emit, which keeps XLA from storing a
+    3-of-128-lane padded (B, N, 3) and relaying it out for every tail op
+    (measured ~1.2 ms/step of copies at production shapes). A (B, N, 3)
+    array is accepted for the pure-jnp field and tests."""
+    if isinstance(color, (tuple, list)):
+        return tuple(color)
+    return tuple(color[..., c] for c in range(3))
+
+
+def composite(weights: jnp.ndarray, color) -> jnp.ndarray:
+    """Sum_i w_i * rgb_i (``nerf.py:274-281``).
+
+    (B,N) weights x color ((B,N,3) or per-channel ((B,N),)x3) -> (B,3)."""
+    chans = _as_channels(color)
+    return jnp.stack([jnp.sum(weights * c, axis=1) for c in chans], axis=-1)
 
 
 def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
                      sigma_co: jnp.ndarray, sigma_fi: jnp.ndarray,
-                     color_co: jnp.ndarray, color_fi: jnp.ndarray,
+                     color_co, color_fi,
                      tail: float = TAIL_DELTA,
                      white_bkgd: bool = False) -> jnp.ndarray:
     """Composite the MERGED coarse+fine sample set without ever sorting.
@@ -141,12 +157,12 @@ def _eval_field(field_fn: FieldFn, params: mlp.Params, origins: jnp.ndarray,
     which XLA tiles at 3/128 lane occupancy — out of HBM entirely."""
     ray_eval = getattr(field_fn, "eval_rays", None)
     if ray_eval is not None:
-        # eval_rays returns sigma as dense (B, N) — no (B, N, 1) squeeze
+        # eval_rays returns ((r, g, b), sigma), every plane dense (B, N)
         return ray_eval(params, origins, dirs, ts)
     points = origins[:, None, :] + ts[..., None] * dirs[:, None, :]
     dirs_b = jnp.broadcast_to(dirs[:, None, :], points.shape)
     color, sigma = field_fn(params, points, dirs_b)
-    return color, jnp.squeeze(sigma, axis=-1)
+    return _as_channels(color), jnp.squeeze(sigma, axis=-1)
 
 
 def render_rays(params: mlp.Params,
@@ -231,12 +247,13 @@ def render_rays(params: mlp.Params,
                              n_fine)
     color_fi, sigma_fi = _eval_field(field_fn, params, origins, dirs, t_fi)
 
+    cat = lambda a, b: jnp.concatenate([a, b], axis=1)
     if compat_sort:
         # reference defect Q4: each channel sorted independently (nerf.py:308)
-        color_all = jnp.concatenate([color_co, color_fi], axis=1)
-        sigma_all = jnp.concatenate([sigma_co, sigma_fi], axis=1)
-        t_all = jnp.sort(jnp.concatenate([t_co, t_fi], axis=1), axis=1)
-        color_s = jnp.sort(color_all, axis=1)
+        sigma_all = cat(sigma_co, sigma_fi)
+        t_all = jnp.sort(cat(t_co, t_fi), axis=1)
+        color_s = tuple(jnp.sort(cat(c, f), axis=1)
+                        for c, f in zip(color_co, color_fi))
         sigma_s = jnp.sort(sigma_all, axis=1)
         delta_all = jnp.concatenate(
             [t_all[:, 1:] - t_all[:, :-1],
@@ -250,16 +267,16 @@ def render_rays(params: mlp.Params,
                                   white_bkgd=white_bkgd)
     else:
         t_cat, ranks = sampling.merge_sorted_ts(t_co, t_fi)
-        # permute (t, rgb, sigma) with ONE batched one-hot matmul so the
-        # channels stay coupled (Q4 fix) and the MXU does a single pass
-        color_all = jnp.concatenate([color_co, color_fi], axis=1)
-        sigma_all = jnp.concatenate([sigma_co, sigma_fi], axis=1)
-        bundle = jnp.concatenate(
-            [t_cat[..., None], color_all, sigma_all[..., None]], axis=-1)
-        bundle_s = sampling.apply_ranks(ranks, bundle)
-        t_all = bundle_s[..., 0]
-        color_s = bundle_s[..., 1:4]
-        sigma_s = bundle_s[..., 4]
+        # permute (t, r, g, b, sigma) with ONE batched one-hot matmul so the
+        # channels stay coupled (Q4 fix) and the MXU does a single pass;
+        # the planes stack on a LEADING axis so every one stays lane-dense
+        xs = jnp.stack(
+            [t_cat] + [cat(c, f) for c, f in zip(color_co, color_fi)]
+            + [cat(sigma_co, sigma_fi)], axis=0)        # (5, B, N_c+N_f)
+        sorted_ = sampling.apply_ranks_channels(ranks, xs)  # (B, 5, N)
+        t_all = sorted_[:, 0, :]
+        color_s = tuple(sorted_[:, 1 + c, :] for c in range(3))
+        sigma_s = sorted_[:, 4, :]
         delta_all = jnp.concatenate(
             [t_all[:, 1:] - t_all[:, :-1],
              jnp.full_like(t_all[:, :1], TAIL_DELTA)], axis=1)

@@ -184,6 +184,21 @@ def apply_ranks(ranks: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         precision=jax.lax.Precision.HIGHEST)
 
 
+def apply_ranks_channels(ranks: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Permute a STACK of per-channel planes with one one-hot matmul.
+
+    ranks (B, N), xs (C, B, N) -> (B, C, N) sorted along the last axis.
+    Channel planes stack on a LEADING axis (cheap: lanes stay on N), so the
+    bundle never takes the lane-sparse (B, N, C) layout that
+    :func:`apply_ranks` on a channels-last bundle forces XLA to relayout."""
+    n = ranks.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+    onehot = (ranks[:, None, :] == iota.transpose(0, 2, 1)).astype(xs.dtype)
+    return jax.lax.dot_general(
+        xs, onehot, (((2,), (2,)), ((1,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def merge_sorted_ts(t_coarse: jnp.ndarray, t_fine: jnp.ndarray,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Merge two per-ray sorted t arrays -> (concatenated t, stable ranks).
