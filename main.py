@@ -23,6 +23,8 @@ def main() -> None:
                         help="number of frames for --mode=path")
     parser.add_argument("--path-scale", type=float, default=1.0,
                         help="resolution multiplier for --mode=path")
+    parser.add_argument("--depth", action="store_true",
+                        help="also write per-view depth + opacity maps")
     args = parser.parse_args()
 
     from tinynerf.config import load_config
@@ -33,12 +35,17 @@ def main() -> None:
     cfg = load_config(args.conf)
     if args.iters is not None:
         cfg.total_iter = args.iters
+    if args.mode in ("display", "path"):
+        # render-only modes need trained weights: resume the latest
+        # checkpoint regardless of the INI's CONTINUE flag (without this a
+        # display-only invocation silently renders from FRESH weights)
+        cfg.continue_ = True
 
     runner = Runner(cfg)
     if args.mode in ("all", "train"):
         runner.train("train")
     if args.mode in ("all", "display"):
-        runner.display()
+        runner.display(depth=args.depth)
     if args.mode == "path":
         runner.render_path_video(n_views=args.path_views,
                                  res_scale=args.path_scale)

@@ -55,3 +55,29 @@ def test_import_torch_state_dict_shapes_and_forward():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sigma_j), sigma_t.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_occ_grid_roundtrip(tmp_path):
+    """The occupancy grid is TRAINING state (weights co-adapt to its
+    tightened sampling) — it must survive checkpoint resume."""
+    from tinynerf.core import mlp, occupancy
+
+    params = mlp.init_network(jax.random.PRNGKey(0))
+    grid = occupancy.init_grid(resolution=8, half_extent=1.5, threshold=0.02)
+    raw = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (8, 8, 8)).astype(np.float32))
+    grid = grid._replace(raw=raw, density=raw * 2.0)
+
+    path = ckpt.save_checkpoint(str(tmp_path), "t", 7, params, occ=grid)
+    *_, occ = ckpt.load_checkpoint_full(path)
+    assert occ is not None
+    np.testing.assert_array_equal(np.asarray(occ.raw), np.asarray(grid.raw))
+    np.testing.assert_array_equal(np.asarray(occ.density),
+                                  np.asarray(grid.density))
+    assert float(occ.half_extent) == 1.5
+    assert abs(float(occ.threshold) - 0.02) < 1e-7
+
+    # absent when not saved
+    p2 = ckpt.save_checkpoint(str(tmp_path), "t", 8, params)
+    *_, occ2 = ckpt.load_checkpoint_full(p2)
+    assert occ2 is None

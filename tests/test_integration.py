@@ -122,6 +122,39 @@ def test_cli_main_on_8_device_mesh(sync_scene_dir, tmp_path, monkeypatch):
     assert out
 
 
+def test_cli_display_mode_resumes_and_writes_depth(sync_scene_dir, tmp_path,
+                                                   monkeypatch, capsys):
+    """``--mode=display`` must render from the latest checkpoint even when
+    the INI says CONTINUE=False (it used to silently render from FRESH
+    weights), and ``--depth`` writes per-view depth + opacity maps."""
+    import sys
+    import main as climain
+
+    ini = tmp_path / "disp_scene.ini"
+    ini.write_text(
+        "[disp_scene]\n"
+        f"IMG_DIR = {sync_scene_dir}/\n"
+        f"RESULTS_PATH = {tmp_path}/results/\n"
+        f"CKPT_PATH = {tmp_path}/ckpt/\n"
+        f"LOG_DIR = {tmp_path}/runs/\n"
+        "TOTAL_ITER = 10\nSTEP = 10\nBATCH_RAY = 32\n"
+        "N_COARSE = 4\nN_FINE = 4\nDATA_TYPE = sync\nLEARNING = 5e-3\n"
+        "DECAY_END = 10000\nSCHED = EXP\nCONTINUE = False\n"
+        "RENDER_CHUNK = 72\nUSE_PALLAS = False\n")
+    monkeypatch.setattr(sys, "argv", ["main.py", f"--conf={ini}",
+                                      "--mode=train"])
+    climain.main()
+    monkeypatch.setattr(sys, "argv", ["main.py", f"--conf={ini}",
+                                      "--mode=display", "--depth"])
+    climain.main()
+    assert "Resumed from" in capsys.readouterr().out
+    deep = [f for root, _, fs in os.walk(tmp_path / "results")
+            for f in fs if f.endswith("_depth.jpg")]
+    accs = [f for root, _, fs in os.walk(tmp_path / "results")
+            for f in fs if f.endswith("_acc.jpg")]
+    assert deep and accs
+
+
 def test_runner_val_mode(cfg):
     runner = Runner(cfg)
     start = int(runner.state.iteration)

@@ -99,6 +99,16 @@ def test_runner_with_occ_and_white_bkgd(sync_scene_dir, tmp_path):
     score = runner.display(max_views=1)
     assert np.isfinite(score)
 
+    # the grid is training state: a resumed Runner must restore it from the
+    # checkpoint (a fresh all-occupied grid changes the sample distribution
+    # the weights co-adapted to and tanks display PSNR)
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, continue_=True)
+    runner2 = Runner(cfg2)
+    np.testing.assert_array_equal(np.asarray(runner2.state.occ.raw),
+                                  np.asarray(runner.state.occ.raw))
+    assert np.isfinite(runner2.display(max_views=1))
+
 
 def test_occ_ini_keys(tmp_path):
     from tinynerf.config import load_config

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 
 from tinynerf.core import mlp, render
 from tests.test_rays import _pose17
+from tinynerf.core.rays import make_k_inv
 
 
 def test_get_density_hand_computed():
@@ -200,3 +201,50 @@ def test_compat_sort_flag_changes_result():
                                    compat_sort=True)
     # the reference's independent-channel sort (Q4) gives a different render
     assert not np.allclose(np.asarray(fixed), np.asarray(compat))
+
+
+def test_depth_and_acc_extras():
+    """extras=True returns expected-termination depth + accumulated opacity:
+    an opaque analytic sphere at the origin seen from z=+4 terminates rays
+    near its front surface (t ~ 3.5); miss rays accumulate ~0 opacity."""
+    from tests.test_rays import _pose17
+
+    def field(params, points, dirs):
+        dist = jnp.linalg.norm(points, axis=-1, keepdims=True)
+        sigma = jnp.where(dist < 0.5, 50.0, 0.0)
+        return jnp.ones(points.shape[:-1] + (3,)), sigma
+
+    hw, f = 9.0, 12.0
+    k_inv = make_k_inv(hw, hw, f)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.0, 0.0, 4.0]         # camera at z=+4 looking down -z
+    pose = jnp.asarray(np.tile(_pose17(c2w, hw, hw, f, 2.0, 6.0), (2, 1)))
+    # the (4.5, 4.5) pixel ray passes through the origin; (0, 0) misses
+    rows = jnp.asarray(np.array([4.5, 0.0], np.float32))
+    cols = jnp.asarray(np.array([4.5, 0.0], np.float32))
+    out = render.render_rays(None, rows, cols, pose, k_inv, 32, 64,
+                             field_fn=field, extras=True)
+    assert len(out) == 4
+    _, c_fi, depth, acc = out
+    # hit: opaque (Q5's INCLUSIVE cumsum discounts each sample by its own
+    # opacity, so acc saturates below 1 at finite sample counts)
+    assert float(acc[0]) > 0.75
+    assert 3.3 < float(depth[0]) < 3.8   # camera z=4, sphere front at 3.5
+    assert float(acc[1]) < 0.05          # miss: transparent
+
+
+def test_frame_fn_extras_shapes(tmp_path):
+    from tinynerf.config import Config
+    from tinynerf import eval as evallib
+    from tinynerf.core import mlp
+
+    params = mlp.init_network(jax.random.PRNGKey(0))
+    cfg = Config(n_coarse=4, n_fine=8, use_pallas=False, render_chunk=32)
+    k_inv = make_k_inv(8.0, 8.0, 10.0)
+    frame_fn = evallib.make_frame_fn(cfg, k_inv, 8, 8, extras=True)
+    from tests.test_rays import _pose17
+    p17 = jnp.asarray(_pose17(np.eye(4), 8, 8, 10.0, 2.0, 6.0))
+    rgb, depth, acc = frame_fn(params, p17)
+    assert rgb.shape == (8, 8, 3) and depth.shape == (8, 8)
+    assert acc.shape == (8, 8)
+    assert np.isfinite(np.asarray(depth)).all()

@@ -45,7 +45,7 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_checkpoint(path_dir: str, start_time: str, iteration: int,
-                    params: Any, opt_state=None, key=None) -> str:
+                    params: Any, opt_state=None, key=None, occ=None) -> str:
     """Write ``<ckpt_path>/<start_time>_<iter>.npz``; returns the path."""
     os.makedirs(path_dir, exist_ok=True)
     path = os.path.join(path_dir, f"{start_time}_{iteration}.npz")
@@ -60,18 +60,27 @@ def save_checkpoint(path_dir: str, start_time: str, iteration: int,
             blobs[f"mu{_SEP}{k}"] = v
         for k, v in _flatten(opt_state.nu).items():
             blobs[f"nu{_SEP}{k}"] = v
+    if occ is not None:
+        # the occupancy grid is TRAINING state: the weights co-adapt to its
+        # tightened sample distribution, so rendering from a resumed
+        # checkpoint with a fresh (all-occupied) grid drops PSNR hard
+        blobs[f"occ{_SEP}raw"] = np.asarray(occ.raw)
+        blobs[f"occ{_SEP}density"] = np.asarray(occ.density)
+        blobs[f"occ{_SEP}half_extent"] = np.asarray(occ.half_extent)
+        blobs[f"occ{_SEP}threshold"] = np.asarray(occ.threshold)
     np.savez(path, **blobs)
     return path
 
 
 def load_checkpoint(path: str) -> Tuple[int, Any, Optional[Any]]:
     """Returns (iteration, params, adam_state_or_None). Use
-    :func:`load_checkpoint_full` to also recover the PRNG key."""
+    :func:`load_checkpoint_full` to also recover the PRNG key + occ grid."""
     return load_checkpoint_full(path)[:3]
 
 
 def load_checkpoint_full(path: str):
-    """Returns (iteration, params, adam_state_or_None, prng_key_or_None)."""
+    """Returns (iteration, params, adam_state_or_None, prng_key_or_None,
+    occ_grid_or_None)."""
     from tinynerf.optim import AdamState
 
     with np.load(path) as archive:
@@ -89,7 +98,15 @@ def load_checkpoint_full(path: str):
                              for k in archive.files if k.startswith(f"nu{_SEP}")})
             opt_state = AdamState(count=jnp.asarray(archive["adam_count"]),
                                   mu=mu, nu=nu)
-    return iteration, params, opt_state, prng_key
+        occ = None
+        if f"occ{_SEP}raw" in archive.files:
+            from tinynerf.core.occupancy import OccGrid
+            occ = OccGrid(
+                raw=jnp.asarray(archive[f"occ{_SEP}raw"]),
+                density=jnp.asarray(archive[f"occ{_SEP}density"]),
+                half_extent=jnp.asarray(archive[f"occ{_SEP}half_extent"]),
+                threshold=jnp.asarray(archive[f"occ{_SEP}threshold"]))
+    return iteration, params, opt_state, prng_key, occ
 
 
 _ITER_RE = re.compile(r"_(\d+)\.npz$")

@@ -82,7 +82,8 @@ def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
                      sigma_co: jnp.ndarray, sigma_fi: jnp.ndarray,
                      color_co, color_fi,
                      tail: float = TAIL_DELTA,
-                     white_bkgd: bool = False) -> jnp.ndarray:
+                     white_bkgd: bool = False,
+                     return_extras: bool = False):
     """Composite the MERGED coarse+fine sample set without ever sorting.
 
     Mathematically identical to sort-by-t -> diff -> inclusive-cumsum
@@ -140,9 +141,15 @@ def merged_composite(t_co: jnp.ndarray, t_fi: jnp.ndarray,
     w_co = jnp.exp(-(own_co + cross_co)) * (1.0 - jnp.exp(-sd_co))
     w_fi = jnp.exp(-(own_fi + cross_fi)) * (1.0 - jnp.exp(-sd_fi))
     out = composite(w_co, color_co) + composite(w_fi, color_fi)
+    acc = jnp.sum(w_co, axis=1) + jnp.sum(w_fi, axis=1)
     if white_bkgd:
-        out = out + (1.0 - jnp.sum(w_co, axis=1)
-                     - jnp.sum(w_fi, axis=1))[:, None]
+        out = out + (1.0 - acc)[:, None]
+    if return_extras:
+        # expected termination distance + opacity (standard NeRF outputs
+        # the reference lacks): depth = sum_i w_i t_i / sum_i w_i
+        depth = ((jnp.sum(w_co * t_co, axis=1) + jnp.sum(w_fi * t_fi, axis=1))
+                 / jnp.maximum(acc, 1e-10))
+        return out, depth, acc
     return out
 
 
@@ -176,8 +183,15 @@ def render_rays(params: mlp.Params,
                 merge_impl: str = "permute",
                 white_bkgd: bool = False,
                 occ_grid=None,
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                extras: bool = False,
+                ):
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
+
+    With ``extras=True`` (implies the twolist merge; grad-free eval use)
+    returns ``(C_coarse, C_fine, depth, acc)`` where depth (B,) is the
+    expected termination distance ``sum w_i t_i / sum w_i`` over the merged
+    sample set and acc (B,) the accumulated opacity — standard NeRF
+    diagnostics the reference does not produce.
 
     Entirely on device inside one traced graph — no host sync anywhere
     (the reference crosses the device boundary 3x per iteration, SURVEY §3.2).
@@ -220,10 +234,12 @@ def render_rays(params: mlp.Params,
     # merge_impl so an opted-in run only uses it for grad-free renders.
     fused = getattr(field_fn, "render_fused", None)
     if (fused is not None and n_fine > 0 and not compat_sort
-            and merge_impl == "twolist"):
+            and merge_impl == "twolist" and not extras):
         t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
         return fused(params, origins, dirs, t_co, near, far, n_fine=n_fine,
                      white_bkgd=white_bkgd)
+    if extras:
+        merge_impl = "twolist"
 
     # ---- coarse pass (nerf.py:288-295) ----
     t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
@@ -262,9 +278,14 @@ def render_rays(params: mlp.Params,
         c_fine = composite(dense_all, color_s)
     elif merge_impl == "twolist":
         # sort-free merged compositing over the two per-ray-sorted lists
-        c_fine = merged_composite(t_co, t_fi, sigma_co, sigma_fi,
-                                  color_co, color_fi,
-                                  white_bkgd=white_bkgd)
+        out = merged_composite(t_co, t_fi, sigma_co, sigma_fi,
+                               color_co, color_fi,
+                               white_bkgd=white_bkgd,
+                               return_extras=extras)
+        if extras:
+            c_fine, depth, acc = out
+            return c_coarse, c_fine, depth, acc
+        c_fine = out
     else:
         t_cat, ranks = sampling.merge_sorted_ts(t_co, t_fi)
         # permute (t, r, g, b, sigma) with ONE batched one-hot matmul so the

@@ -46,7 +46,7 @@ def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
 
 def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                   field_fn=None, ndc_params=None, batch_sharding=None,
-                  occ_grid=None):
+                  occ_grid=None, extras: bool = False):
     """Whole-frame renderer: ONE jitted dispatch per view.
 
     The pixel grid is marched with an on-device ``lax.map`` over fixed-size
@@ -69,7 +69,7 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
 
     if (getattr(field_fn, "render_fused", None) is not None
             and batch_sharding is None and not cfg.compat_sort
-            and cfg.n_fine > 0):
+            and cfg.n_fine > 0 and not extras):
         rr, cc = np.meshgrid(np.arange(height, dtype=np.float32),
                              np.arange(width, dtype=np.float32),
                              indexing="ij")
@@ -111,14 +111,23 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
             if batch_sharding is not None:
                 r = jax.lax.with_sharding_constraint(r, batch_sharding)
                 c = jax.lax.with_sharding_constraint(c, batch_sharding)
-            _, c_fine = render.render_rays(
+            out = render.render_rays(
                 params, r, c, pose, k_inv, cfg.n_coarse, cfg.n_fine,
                 field_fn=field_fn, compat_sort=cfg.compat_sort,
                 ndc_params=ndc_params, merge_impl="twolist",
-                white_bkgd=cfg.white_bkgd, occ_grid=occ_grid)
-            return c_fine
+                white_bkgd=cfg.white_bkgd, occ_grid=occ_grid,
+                extras=extras)
+            if extras:
+                return out[1], out[2], out[3]
+            return out[1]
 
-        out = jax.lax.map(one_chunk, (rows_d, cols_d))  # (n_chunks, chunk, 3)
+        out = jax.lax.map(one_chunk, (rows_d, cols_d))  # (n_chunks, chunk, *)
+        if extras:
+            c_fine, depth, acc = out
+            shp = (height, width)
+            return (c_fine.reshape(padded, 3)[:num_pix].reshape(*shp, 3),
+                    depth.reshape(padded)[:num_pix].reshape(shp),
+                    acc.reshape(padded)[:num_pix].reshape(shp))
         return out.reshape(padded, 3)[:num_pix].reshape(height, width, 3)
 
     return frame
@@ -157,19 +166,29 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
                     last_iter: int, field_fn=None,
                     save: bool = True, max_views: Optional[int] = None,
                     ndc_params=None, batch_sharding=None,
-                    occ_grid=None) -> np.ndarray:
+                    occ_grid=None, depth: bool = False) -> np.ndarray:
     """Render every view of ``table`` in order; optionally write per-view JPGs
     under ``results_path/<start_time>/`` and an mp4 at 30 fps (reference
-    ``nerf.py:523-530``). Returns the (N, H, W, 3) stack."""
+    ``nerf.py:523-530``). Returns the (N, H, W, 3) stack.
+
+    ``depth=True`` additionally writes ``<pic>_depth.jpg`` (expected
+    termination distance, near/far-normalized) and ``<pic>_acc.jpg``
+    (accumulated opacity) per view — standard NeRF diagnostics."""
     frame_fn = make_frame_fn(cfg, k_inv, table.height, table.width,
                              field_fn=field_fn, ndc_params=ndc_params,
                              batch_sharding=batch_sharding,
-                             occ_grid=occ_grid)
+                             occ_grid=occ_grid, extras=depth)
     n_views = table.num_pics if max_views is None else min(max_views, table.num_pics)
     frames = np.empty((n_views, table.height, table.width, 3), np.float32)
+    depths = np.empty((n_views, table.height, table.width), np.float32)
+    accs = np.empty_like(depths)
     poses = np.asarray(table.poses)
     for pic in range(n_views):
-        frames[pic] = np.asarray(frame_fn(params, jnp.asarray(poses[pic])))
+        out = frame_fn(params, jnp.asarray(poses[pic]))
+        if depth:
+            frames[pic], depths[pic], accs[pic] = (np.asarray(o) for o in out)
+        else:
+            frames[pic] = np.asarray(out)
     frames = np.clip(frames, 0.0, 1.0)
 
     if save:
@@ -179,6 +198,15 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
         for pic in range(n_views):
             imageio.imwrite(os.path.join(save_dir, f"{pic}.jpg"),
                             (frames[pic] * 255.0).astype(np.uint8))
+            if depth:
+                near, far = poses[pic, 15], poses[pic, 16]
+                dn = np.clip((depths[pic] - near) / max(far - near, 1e-6),
+                             0.0, 1.0)
+                imageio.imwrite(os.path.join(save_dir, f"{pic}_depth.jpg"),
+                                ((1.0 - dn) * 255.0).astype(np.uint8))
+                imageio.imwrite(
+                    os.path.join(save_dir, f"{pic}_acc.jpg"),
+                    (np.clip(accs[pic], 0, 1) * 255.0).astype(np.uint8))
         video_u8 = (frames * 255.0).astype(np.uint8)
         base = os.path.join(cfg.results_path, f"{start_time}_{last_iter}")
         try:

@@ -69,12 +69,12 @@ class Runner:
 
         # --- state (fresh or resumed-latest, reference nerf.py:402-420) ---
         self.last_iter = -1
-        params = opt_state = saved_key = None
+        params = opt_state = saved_key = saved_occ = None
         if cfg.continue_:
             latest = ckpt.find_latest(cfg.ckpt_path)
             if latest is not None:
-                (self.last_iter, params, opt_state,
-                 saved_key) = ckpt.load_checkpoint_full(latest)
+                (self.last_iter, params, opt_state, saved_key,
+                 saved_occ) = ckpt.load_checkpoint_full(latest)
                 print(f"Resumed from {latest} (iter {self.last_iter})")
         if self.last_iter < 0:
             print("New run created.")
@@ -83,6 +83,10 @@ class Runner:
             iteration=self.last_iter + 1)
         if saved_key is not None:  # exact-resume: continue the sample stream
             self.state = self.state._replace(key=saved_key)
+        if saved_occ is not None and cfg.occ_grid:
+            # the grid is training state: weights co-adapt to its tightened
+            # sample distribution, so resume/display must reuse it
+            self.state = self.state._replace(occ=saved_occ)
         if self.mesh is not None:
             self.state = meshlib.replicate_state(self.state, self.mesh)
 
@@ -212,7 +216,9 @@ class Runner:
                         cfg.ckpt_path, self.start_time, it - 1,
                         jax.device_get(self.state.params),
                         jax.device_get(self.state.opt),
-                        key=jax.device_get(self.state.key))
+                        key=jax.device_get(self.state.key),
+                        occ=(jax.device_get(self.state.occ)
+                             if self.state.occ is not None else None))
                     self.last_iter = it - 1
                 t0 = time.perf_counter()
         if bar is not None:
@@ -231,14 +237,16 @@ class Runner:
                 return c
         return 1
 
-    def display(self, max_views: Optional[int] = None) -> float:
-        """Full-frame render of the test split -> JPGs + mp4; returns PSNR."""
+    def display(self, max_views: Optional[int] = None,
+                depth: bool = False) -> float:
+        """Full-frame render of the test split -> JPGs + mp4; returns PSNR.
+        ``depth=True`` also writes per-view depth + opacity maps."""
         print("Start generating video...")
         frames = evallib.render_test_set(
             self.cfg, self.state.params, self.test_table, self.k_inv,
             self.start_time, self.last_iter, save=True, max_views=max_views,
             ndc_params=self.ndc_params, batch_sharding=self.batch_sharding,
-            occ_grid=self.state.occ)
+            occ_grid=self.state.occ, depth=depth)
         score = evallib.test_psnr(frames, self.test_table)
         print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views")
         return score
