@@ -180,8 +180,9 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
                              occ_grid=occ_grid, extras=depth)
     n_views = table.num_pics if max_views is None else min(max_views, table.num_pics)
     frames = np.empty((n_views, table.height, table.width, 3), np.float32)
-    depths = np.empty((n_views, table.height, table.width), np.float32)
-    accs = np.empty_like(depths)
+    if depth:
+        depths = np.empty((n_views, table.height, table.width), np.float32)
+        accs = np.empty_like(depths)
     poses = np.asarray(table.poses)
     for pic in range(n_views):
         out = frame_fn(params, jnp.asarray(poses[pic]))
