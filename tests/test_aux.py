@@ -60,3 +60,19 @@ def test_preview_canvas(tmp_path):
     assert tuple(canvas.canvas[2, 2]) == (1.0, 1.0, 1.0)
     canvas.save(str(tmp_path / "preview.jpg"))
     assert os.path.isfile(tmp_path / "preview.jpg")
+
+
+def test_ssim_metric_properties():
+    from tinynerf.eval import ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+    assert abs(ssim(img, img) - 1.0) < 1e-6
+    noisy = np.clip(img + rng.normal(0, 0.1, img.shape), 0, 1).astype(
+        np.float32)
+    noisier = np.clip(img + rng.normal(0, 0.3, img.shape), 0, 1).astype(
+        np.float32)
+    s1, s2 = ssim(img, noisy), ssim(img, noisier)
+    assert 0.0 < s2 < s1 < 1.0
+    # structure-destroying constant image scores near zero on a textured one
+    assert ssim(img, np.full_like(img, float(img.mean()))) < 0.35

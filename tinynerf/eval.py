@@ -161,6 +161,26 @@ def psnr(pred: np.ndarray, target: np.ndarray) -> float:
     return -10.0 * float(np.log10(mse))
 
 
+def ssim(pred: np.ndarray, target: np.ndarray, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> float:
+    """Structural similarity (Wang et al. 2004) with the standard NeRF-eval
+    settings: 11x11 gaussian window (sigma 1.5), dynamic range 1.0,
+    per-channel then averaged. pred/target (H, W, 3) in [0, 1]."""
+    from scipy.ndimage import gaussian_filter
+
+    c1, c2 = k1 ** 2, k2 ** 2
+    blur = lambda x: np.stack(
+        [gaussian_filter(x[..., c], sigma, truncate=10.0 / 3.0)
+         for c in range(x.shape[-1])], axis=-1)
+    mu_p, mu_t = blur(pred), blur(target)
+    var_p = blur(pred * pred) - mu_p * mu_p
+    var_t = blur(target * target) - mu_t * mu_t
+    cov = blur(pred * target) - mu_p * mu_t
+    num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)
+    den = (mu_p ** 2 + mu_t ** 2 + c1) * (var_p + var_t + c2)
+    return float(np.mean(num / den))
+
+
 def render_test_set(cfg: Config, params: Any, table: RayTable,
                     k_inv: jnp.ndarray, start_time: str,
                     last_iter: int, field_fn=None,
@@ -250,4 +270,10 @@ def render_path(cfg: Config, params: Any, pose_rows: np.ndarray,
 def test_psnr(frames: np.ndarray, table: RayTable) -> float:
     """Mean PSNR of rendered frames against the split's ground truth."""
     vals = [psnr(frames[i], table.image(i)) for i in range(frames.shape[0])]
+    return float(np.mean(vals))
+
+
+def test_ssim(frames: np.ndarray, table: RayTable) -> float:
+    """Mean SSIM of rendered frames against the split's ground truth."""
+    vals = [ssim(frames[i], table.image(i)) for i in range(frames.shape[0])]
     return float(np.mean(vals))

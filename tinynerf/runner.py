@@ -248,7 +248,9 @@ class Runner:
             ndc_params=self.ndc_params, batch_sharding=self.batch_sharding,
             occ_grid=self.state.occ, depth=depth)
         score = evallib.test_psnr(frames, self.test_table)
-        print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views")
+        ssim_score = evallib.test_ssim(frames, self.test_table)
+        print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views "
+              f"(SSIM {ssim_score:.4f})")
         return score
 
     def render_path_video(self, n_views: int = 120,
