@@ -47,6 +47,10 @@ def main() -> None:
     parser.add_argument("--fused", action="store_true",
                         help="EXPERIMENTAL whole-renderer fusion (measured "
                              "slower; see kernels/render_kernel.py)")
+    parser.add_argument("--occ", action="store_true",
+                        help="measure with the occupancy grid enabled "
+                             "(empty-space skipping; trades ~9%% rays/s for "
+                             "reconstruction quality)")
     parser.add_argument("--metric", type=str, default="train",
                         choices=["train", "render"],
                         help="train rays/sec (default) or 800x800 sec/frame")
@@ -70,7 +74,8 @@ def main() -> None:
     cfg = Config(batch_ray=args.batch, n_coarse=args.coarse,
                  n_fine=args.fine, precision=args.precision,
                  use_pallas=not args.no_pallas,
-                 fused_render=args.fused, seed=seed)
+                 fused_render=args.fused, seed=seed,
+                 occ_grid=args.occ, white_bkgd=args.occ)
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)
