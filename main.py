@@ -42,6 +42,12 @@ def main() -> None:
         cfg.continue_ = True
 
     runner = Runner(cfg)
+    if args.mode in ("display", "path") and runner.last_iter < 0:
+        raise SystemExit(
+            f"--mode={args.mode} needs trained weights but no checkpoint was "
+            f"found under {cfg.ckpt_path!r} — refusing to render from fresh "
+            f"weights. Train first (--mode=train) or point CKPT_PATH at an "
+            f"existing run.")
     if args.mode in ("all", "train"):
         runner.train("train")
     if args.mode in ("all", "display"):

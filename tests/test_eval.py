@@ -32,19 +32,20 @@ def test_psnr():
     np.testing.assert_allclose(evallib.psnr(a, b), 20.0, rtol=1e-6)
 
 
-def test_render_image_shape_and_chunks(setup):
+def test_frame_fn_shape_and_chunks(setup):
     table, k_inv = setup
-    cfg = _cfg()
-    state = trainlib.init_state(cfg)
-    fn = evallib.make_render_fn(cfg, k_inv)
-    img = evallib.render_image(fn, state.params, np.asarray(table.poses)[0],
-                               table.height, table.width, chunk=50)
+    state = trainlib.init_state(_cfg())
+    pose = jnp.asarray(np.asarray(table.poses)[0])
+    fn = evallib.make_frame_fn(_cfg(render_chunk=50), k_inv,
+                               table.height, table.width)
+    img = np.asarray(fn(state.params, pose))
     assert img.shape == (table.height, table.width, 3)
     assert np.all(np.isfinite(img))
-    # chunking must not change the result
-    img2 = evallib.render_image(fn, state.params, np.asarray(table.poses)[0],
-                                table.height, table.width, chunk=144)
-    np.testing.assert_allclose(img, img2, atol=1e-3)
+    # the chunked lax.map tiling must not change the result
+    fn2 = evallib.make_frame_fn(_cfg(render_chunk=144), k_inv,
+                                table.height, table.width)
+    np.testing.assert_allclose(img, np.asarray(fn2(state.params, pose)),
+                               atol=1e-3)
 
 
 def test_render_test_set_artifacts(setup, tmp_path):

@@ -155,8 +155,38 @@ def test_cli_display_mode_resumes_and_writes_depth(sync_scene_dir, tmp_path,
     assert deep and accs
 
 
-def test_runner_val_mode(cfg):
+def test_runner_val_mode_runs_one_full_epoch(cfg):
+    """Reference ``trainer("val")`` runs ONE DataLoader epoch over the val
+    split (nerf.py:498-499): num_pix // batch shuffled without-replacement
+    batches, remainder dropped."""
     runner = Runner(cfg)
     start = int(runner.state.iteration)
     runner.train("val")
-    assert int(runner.state.iteration) == start + cfg.step
+    expected = runner.val_table.num_pix // cfg.batch_ray
+    assert expected > 0  # fixture sanity: the epoch is non-empty
+    assert int(runner.state.iteration) == start + expected
+
+
+def test_indexed_step_visits_given_pixels(sync_scene_dir):
+    """The epoch step trains on exactly the pixels whose indices it is
+    handed (without-replacement semantics are the caller's permutation)."""
+    import jax
+    import jax.numpy as jnp
+    from tinynerf import train as trainlib
+    from tinynerf.core.rays import make_k_inv
+    from tinynerf.data.poses import load_scene
+    from tinynerf.data.rays import RayTable
+
+    cfg = Config(batch_ray=8, n_coarse=4, n_fine=4, use_pallas=False)
+    table = RayTable(load_scene(sync_scene_dir, "sync", "train"))
+    k_inv = make_k_inv(table.height, table.width, table.focal)
+    step = trainlib.make_indexed_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    idx = jnp.arange(16, 24, dtype=jnp.int32)
+    state, metrics = step(state, idx)
+    np.testing.assert_array_equal(
+        np.asarray(metrics["rows"]),
+        np.asarray(idx % (table.height * table.width)) // table.width)
+    np.testing.assert_array_equal(np.asarray(metrics["pic"]),
+                                  np.asarray(idx) // table.pic_size)
+    assert np.isfinite(float(metrics["loss"]))

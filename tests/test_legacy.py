@@ -59,9 +59,15 @@ def test_bit_parity_vs_unpickled_torch_modules(params):
     saved = {c.__name__: getattr(main, c.__name__, None)
              for c in (NeRFModel, Encoder, Network)}
     for c in (NeRFModel, Encoder, Network):
+        c.__module__, c.__qualname__ = "__main__", c.__name__
         setattr(main, c.__name__, c)
     try:
-        model = torch.load(CKPT, map_location="cpu", weights_only=False)
+        # restricted unpickler (untrusted artifact): same allowlist the
+        # production loader uses — see legacy.load_shipped_checkpoint
+        with torch.serialization.safe_globals(
+                [NeRFModel, Encoder, Network, nn.Sequential, nn.Linear,
+                 nn.ReLU, nn.Sigmoid]):
+            model = torch.load(CKPT, map_location="cpu", weights_only=True)
     finally:
         for name, old in saved.items():
             if old is None:

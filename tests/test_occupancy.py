@@ -55,6 +55,31 @@ def test_tighten_bounds_hits_and_misses():
     assert float(new_near[1]) > 5.9
 
 
+def test_derive_march_steps_covers_ray_span():
+    # probe spacing must stay below the 3-cell dilation margin 6*h/res
+    for res, h, span in [(64, 1.5, 4.0), (64, 0.25, 10.0), (128, 1.5, 4.0)]:
+        n = occupancy.derive_march_steps(res, h, span)
+        assert span / n < 6.0 * h / res
+    # blender defaults stay at the measured-cheap 64-probe count
+    assert occupancy.derive_march_steps(64, 1.5, 4.0) == 64
+    # a small-extent grid on a long ray span forces more probes (the
+    # round-2 default max(64, res) would silently skip geometry here)
+    assert occupancy.derive_march_steps(64, 0.25, 10.0) > 64
+
+
+def test_runner_derives_march_steps(tmp_path, sync_scene_dir):
+    from tinynerf.runner import Runner
+    cfg = Config(img_dir=sync_scene_dir, batch_ray=8, n_coarse=4, n_fine=4,
+                 use_pallas=False, occ_grid=True, occ_res=8, occ_extent=0.1,
+                 white_bkgd=True, ckpt_path=str(tmp_path / "ck"),
+                 results_path=str(tmp_path / "res"),
+                 log_dir=str(tmp_path / "runs"))
+    runner = Runner(cfg)
+    # scene rays span far-near = 4.0; margin 6*0.1/8 = 0.075 -> >= 67 probes
+    assert cfg.occ_march_steps is not None
+    assert 4.0 / cfg.occ_march_steps < 6.0 * 0.1 / 8
+
+
 def test_init_grid_is_fully_occupied_until_first_update():
     # inf-initialized density -> tighten is a (near, far) no-op: safe warmup
     grid = occupancy.init_grid(resolution=8, half_extent=1.0)

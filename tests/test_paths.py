@@ -105,3 +105,65 @@ def test_render_path_video(sync_scene_dir, tmp_path, pose_rows):
     import os
     assert (os.path.isfile(tmp_path / "path.mp4")
             or os.path.isfile(tmp_path / "path.gif"))
+
+
+def test_render_path_matches_display_with_occ_grid(sync_scene_dir, tmp_path):
+    """An occ-trained checkpoint's path render must sample the SAME
+    tightened intervals as its own test renders (round-2 gap: render_path
+    dropped the occ grid, changing output statistics)."""
+    from tinynerf.core import occupancy
+
+    cfg = Config(batch_ray=16, n_coarse=4, n_fine=4, use_pallas=False,
+                 render_chunk=72, results_path=str(tmp_path),
+                 occ_grid=True, occ_res=8, occ_extent=2.0, white_bkgd=True)
+    table = RayTable(load_scene(sync_scene_dir, "sync", "test"))
+    k_inv = make_k_inv(table.height, table.width, table.focal)
+    state = trainlib.init_state(cfg)
+    # a grid with real structure: occupied center, empty shell
+    grid = occupancy.init_grid(cfg.occ_res, cfg.occ_extent, cfg.occ_thresh)
+    raw = np.zeros((cfg.occ_res,) * 3, np.float32)
+    raw[3:5, 3:5, 3:5] = 1.0
+    grid = grid._replace(raw=jnp.asarray(raw),
+                         density=occupancy._dilate(jnp.asarray(raw)))
+
+    disp = evallib.render_test_set(cfg, state.params, table, k_inv, "t", 0,
+                                   save=False, max_views=1, occ_grid=grid)
+    path = evallib.render_path(cfg, state.params,
+                               np.asarray(table.poses)[:1], k_inv,
+                               str(tmp_path / "p"), save=False,
+                               occ_grid=grid)
+    np.testing.assert_allclose(path[0], disp[0], atol=1e-5)
+    # and WITHOUT the grid the render differs (the grid has a real effect,
+    # so the equality above is not vacuous)
+    path_nogrid = evallib.render_path(cfg, state.params,
+                                      np.asarray(table.poses)[:1], k_inv,
+                                      str(tmp_path / "p2"), save=False)
+    assert float(np.abs(path_nogrid[0] - disp[0]).max()) > 1e-4
+
+
+def test_sharded_path_render_matches_unsharded(sync_scene_dir, tmp_path,
+                                               pose_rows):
+    """BASELINE stretch config 5: res_scale=2 spiral/orbit path rendered
+    through the mesh-sharded frame path — tiles must assemble to the
+    unsharded result."""
+    import jax
+    from tinynerf.parallel import mesh as meshlib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    cfg = Config(batch_ray=16, n_coarse=4, n_fine=4, use_pallas=False,
+                 render_chunk=64, results_path=str(tmp_path))
+    state = trainlib.init_state(cfg)
+    rows = paths.make_path(pose_rows, "sync", n_views=2, res_scale=2.0)
+    hwf = rows[0, :15].reshape(3, 5)[:, 4]
+    assert int(hwf[0]) == 2 * 12  # res_scale doubled the frame
+    k_inv = make_k_inv(float(hwf[0]), float(hwf[1]), float(hwf[2]))
+    mesh = meshlib.make_mesh(8)
+    sharded = evallib.render_path(
+        cfg, state.params, rows, k_inv, str(tmp_path / "sp"), save=False,
+        batch_sharding=meshlib.batch_sharding(mesh))
+    plain = evallib.render_path(cfg, state.params, rows, k_inv,
+                                str(tmp_path / "up"), save=False)
+    assert sharded.shape == (2, 24, 24, 3)
+    # partitioned reductions reassociate fp: observed max |delta| ~3e-5
+    np.testing.assert_allclose(sharded, plain, atol=1e-4)

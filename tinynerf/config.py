@@ -73,6 +73,10 @@ class Config:
     occ_update_every: int = 256       # grid EMA refresh cadence (steps)
     occ_subset: float = 0.125         # fraction of cells probed per refresh
                                       # (1.0 = full sweep; NerfAcc-style)
+    occ_march_steps: Optional[int] = None  # tighten_bounds probe count;
+                                      # None = derived at Runner setup from
+                                      # the scene's ray span so probes cannot
+                                      # out-stride the 3-cell dilation margin
 
     @property
     def total_samples(self) -> int:
@@ -81,7 +85,8 @@ class Config:
 
 _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
-             "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY"}
+             "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY",
+             "OCC_MARCH_STEPS"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
@@ -103,7 +108,7 @@ _KEY_TO_FIELD = {
     "PROFILE_STEPS": "profile_steps", "WHITE_BKGD": "white_bkgd",
     "OCC_GRID": "occ_grid", "OCC_RES": "occ_res", "OCC_EXTENT": "occ_extent",
     "OCC_THRESH": "occ_thresh", "OCC_UPDATE_EVERY": "occ_update_every",
-    "OCC_SUBSET": "occ_subset",
+    "OCC_SUBSET": "occ_subset", "OCC_MARCH_STEPS": "occ_march_steps",
 }
 
 

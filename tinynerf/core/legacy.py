@@ -77,6 +77,15 @@ def load_shipped_checkpoint(path: str) -> Dict[str, Any]:
     ``__main__`` — names that only existed in the retired training script.
     Stub module classes satisfy the unpickler (torch restores submodules and
     parameters through ``__dict__`` without calling ``__init__``).
+
+    Trust note: the checkpoints come from the UNTRUSTED reference repo, so
+    this does NOT run the full pickle VM (``weights_only=False`` would
+    execute arbitrary code embedded in the archive). It uses torch's
+    restricted weights-only unpickler with an explicit allowlist of the
+    exact classes a genuine artifact references (verified by a pickletools
+    scan of ``checkpoint/0-6``): the three ``__main__`` stubs plus
+    ``Sequential``/``Linear``/``ReLU``/``Sigmoid``. Anything else in the
+    stream — any callable, reduce hook, or os/system reference — raises.
     """
     import sys
     import torch
@@ -96,9 +105,15 @@ def load_shipped_checkpoint(path: str) -> Dict[str, Any]:
     try:
         for cls in (NeRFModel, Encoder, Network):
             name = cls.__name__
+            # the allowlist keys classes by __module__.__qualname__, which
+            # must equal the name the pickle references (__main__.<name>)
+            cls.__module__, cls.__qualname__ = "__main__", name
             saved[name] = getattr(main, name, None)
             setattr(main, name, cls)
-        model = torch.load(path, map_location="cpu", weights_only=False)
+        with torch.serialization.safe_globals(
+                [NeRFModel, Encoder, Network, nn.Sequential, nn.Linear,
+                 nn.ReLU, nn.Sigmoid]):
+            model = torch.load(path, map_location="cpu", weights_only=True)
     finally:
         for name, old in saved.items():
             if old is None:

@@ -183,6 +183,7 @@ def render_rays(params: mlp.Params,
                 merge_impl: str = "permute",
                 white_bkgd: bool = False,
                 occ_grid=None,
+                occ_march: Optional[int] = None,
                 extras: bool = False,
                 ):
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
@@ -217,7 +218,8 @@ def render_rays(params: mlp.Params,
         # empty-space skipping: concentrate the (static) sample budget on the
         # occupied sub-interval of each ray (tinynerf/core/occupancy.py)
         from tinynerf.core.occupancy import tighten_bounds
-        near, far = tighten_bounds(occ_grid, origins, dirs, near, far)
+        near, far = tighten_bounds(occ_grid, origins, dirs, near, far,
+                                   n_steps=occ_march)
     if ndc_params is not None:
         ndc_h, ndc_w, ndc_f = ndc_params
         origins, dirs = raylib.ndc_rays(ndc_h, ndc_w, ndc_f, 1.0,

@@ -22,28 +22,6 @@ from tinynerf.core import render
 from tinynerf.data.rays import RayTable
 
 
-def make_render_fn(cfg: Config, k_inv: jnp.ndarray, field_fn=None,
-                   batch_sharding=None, ndc_params=None):
-    """Jitted chunk renderer: (params, rows, cols, pose17) -> C_fine (chunk, 3)."""
-    if field_fn is None:
-        from tinynerf.train import make_field_fn
-        field_fn = make_field_fn(cfg)
-
-    def render_chunk(params, rows, cols, pose17):
-        if batch_sharding is not None:
-            rows = jax.lax.with_sharding_constraint(rows, batch_sharding)
-            cols = jax.lax.with_sharding_constraint(cols, batch_sharding)
-            pose17 = jax.lax.with_sharding_constraint(pose17, batch_sharding)
-        _, c_fine = render.render_rays(
-            params, rows, cols, pose17, k_inv, cfg.n_coarse, cfg.n_fine,
-            field_fn=field_fn, compat_sort=cfg.compat_sort,
-            ndc_params=ndc_params, merge_impl="twolist",
-            white_bkgd=cfg.white_bkgd)
-        return c_fine
-
-    return jax.jit(render_chunk)
-
-
 def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                   field_fn=None, ndc_params=None, batch_sharding=None,
                   occ_grid=None, extras: bool = False):
@@ -84,15 +62,21 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                 params, rows_f, cols_f, pose, k_inv, cfg.n_coarse,
                 cfg.n_fine, field_fn=field_fn, ndc_params=ndc_params,
                 merge_impl="twolist", white_bkgd=cfg.white_bkgd,
-                occ_grid=occ_grid)
+                occ_grid=occ_grid, occ_march=cfg.occ_march_steps)
             return c_fine.reshape(height, width, 3)
 
         return frame_fused
 
     chunk = min(cfg.render_chunk, num_pix)
+    out_shardings = None
     if batch_sharding is not None:
         n_dev = len(batch_sharding.mesh.devices.flatten())
         chunk = -(-chunk // n_dev) * n_dev  # divisible by mesh size
+        # frames leave the jit fully replicated so EVERY process can read
+        # the assembled image (on a pod, per-device tiles would not be
+        # host-addressable from other processes)
+        from jax.sharding import NamedSharding, PartitionSpec
+        out_shardings = NamedSharding(batch_sharding.mesh, PartitionSpec())
     n_chunks = -(-num_pix // chunk)
     padded = n_chunks * chunk
 
@@ -102,7 +86,6 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
     cols = np.pad(cc.reshape(-1), (0, padded - num_pix)).reshape(n_chunks, chunk)
     rows_d, cols_d = jnp.asarray(rows), jnp.asarray(cols)
 
-    @jax.jit
     def frame(params, pose17_row):
         pose = jnp.broadcast_to(pose17_row.astype(jnp.float32), (chunk, 17))
 
@@ -116,7 +99,7 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                 field_fn=field_fn, compat_sort=cfg.compat_sort,
                 ndc_params=ndc_params, merge_impl="twolist",
                 white_bkgd=cfg.white_bkgd, occ_grid=occ_grid,
-                extras=extras)
+                occ_march=cfg.occ_march_steps, extras=extras)
             if extras:
                 return out[1], out[2], out[3]
             return out[1]
@@ -130,28 +113,9 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                     acc.reshape(padded)[:num_pix].reshape(shp))
         return out.reshape(padded, 3)[:num_pix].reshape(height, width, 3)
 
-    return frame
-
-
-def render_image(render_chunk_fn, params: Any, pose17_row: np.ndarray,
-                 height: int, width: int, chunk: int = 4096) -> np.ndarray:
-    """Render one (H, W, 3) view with a host-side chunk loop (kept for the
-    mesh-sharded path and tests; :func:`make_frame_fn` is the fast path)."""
-    num_pix = height * width
-    rr, cc = np.meshgrid(np.arange(height, dtype=np.float32),
-                         np.arange(width, dtype=np.float32), indexing="ij")
-    rows, cols = rr.reshape(-1), cc.reshape(-1)
-    pose = jnp.broadcast_to(jnp.asarray(pose17_row, jnp.float32), (chunk, 17))
-
-    out = np.empty((num_pix, 3), np.float32)
-    for start in range(0, num_pix, chunk):
-        stop = min(start + chunk, num_pix)
-        pad = chunk - (stop - start)
-        r = np.pad(rows[start:stop], (0, pad))
-        c = np.pad(cols[start:stop], (0, pad))
-        result = render_chunk_fn(params, jnp.asarray(r), jnp.asarray(c), pose)
-        out[start:stop] = np.asarray(result)[: stop - start]
-    return out.reshape(height, width, 3)
+    if out_shardings is not None:
+        return jax.jit(frame, out_shardings=out_shardings)
+    return jax.jit(frame)
 
 
 def psnr(pred: np.ndarray, target: np.ndarray) -> float:
@@ -194,6 +158,8 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
     ``depth=True`` additionally writes ``<pic>_depth.jpg`` (expected
     termination distance, near/far-normalized) and ``<pic>_acc.jpg``
     (accumulated opacity) per view — standard NeRF diagnostics."""
+    from tinynerf.parallel.distributed import is_main_process
+    save = save and is_main_process()  # pod runs: process 0 owns artifacts
     frame_fn = make_frame_fn(cfg, k_inv, table.height, table.width,
                              field_fn=field_fn, ndc_params=ndc_params,
                              batch_sharding=batch_sharding,
@@ -220,7 +186,13 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
             imageio.imwrite(os.path.join(save_dir, f"{pic}.jpg"),
                             (frames[pic] * 255.0).astype(np.uint8))
             if depth:
-                near, far = poses[pic, 15], poses[pic, 16]
+                if ndc_params is not None:
+                    # under the NDC warp render_rays marches t in [0, 1]
+                    # (NDC units), so depth is already in that range —
+                    # normalizing by world-space near/far would clip it
+                    near, far = 0.0, 1.0
+                else:
+                    near, far = poses[pic, 15], poses[pic, 16]
                 dn = np.clip((depths[pic] - near) / max(far - near, 1e-6),
                              0.0, 1.0)
                 imageio.imwrite(os.path.join(save_dir, f"{pic}_depth.jpg"),
@@ -242,15 +214,26 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
 def render_path(cfg: Config, params: Any, pose_rows: np.ndarray,
                 k_inv: jnp.ndarray, out_base: str, field_fn=None,
                 fps: int = 30, save: bool = True,
-                ndc_params=None) -> np.ndarray:
+                ndc_params=None, batch_sharding=None,
+                occ_grid=None) -> np.ndarray:
     """Render an arbitrary camera path (spiral/orbit, ``tinynerf/data/paths``)
     to a video. Frame size comes from each pose row's h/w columns, so
     res-scaled paths (e.g. 1600x1600 spiral) work unchanged; ``k_inv`` must
-    match the path intrinsics (``make_k_inv`` of the scaled h/w/f)."""
+    match the path intrinsics (``make_k_inv`` of the scaled h/w/f).
+
+    ``occ_grid``/``batch_sharding`` flow into the frame renderer exactly as
+    in :func:`render_test_set`: an occ-trained checkpoint's path render uses
+    the same tightened sample intervals as its own test renders, and the
+    pod-sharded path (BASELINE stretch config 5 — res_scale=2 spiral over
+    the mesh) shards each frame's pixel chunks across devices."""
+    from tinynerf.parallel.distributed import is_main_process
+    save = save and is_main_process()  # pod runs: process 0 owns artifacts
     height = int(pose_rows[0, :15].reshape(3, 5)[0, 4])
     width = int(pose_rows[0, :15].reshape(3, 5)[1, 4])
     frame_fn = make_frame_fn(cfg, k_inv, height, width, field_fn=field_fn,
-                             ndc_params=ndc_params)
+                             ndc_params=ndc_params,
+                             batch_sharding=batch_sharding,
+                             occ_grid=occ_grid)
     frames = np.empty((pose_rows.shape[0], height, width, 3), np.float32)
     for i in range(pose_rows.shape[0]):
         frames[i] = np.asarray(frame_fn(params, jnp.asarray(pose_rows[i])))

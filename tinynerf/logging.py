@@ -63,6 +63,20 @@ class MetricLogger:
             self._writer.close()
 
 
+class NullLogger:
+    """Drop-in no-op MetricLogger for non-main processes of a pod run:
+    artifact and metric writes are owned by process 0 only."""
+
+    def log(self, iteration: int, scalars: Dict[str, Any]) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class PreviewCanvas:
     """The reference's coverage-visualization canvas: an (H, W, 3) image of
     ground-truth pixels from pic 0 seen so far (``nerf.py:460,482-483``),

@@ -25,13 +25,23 @@ from tinynerf.core.rays import make_k_inv
 from tinynerf.data.poses import load_scene
 from tinynerf.data.rays import RayBatch, RayTable
 from tinynerf.logging import MetricLogger, PreviewCanvas
-from tinynerf.parallel import mesh as meshlib
+from tinynerf.parallel import distributed as dist, mesh as meshlib
+from tinynerf.profiling import Throughput
 
 
 class Runner:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.start_time = time.strftime("%m-%d-%H-%M-%S", time.localtime())
+
+        # --- mesh / sharding (ray-DP; single-device when 1 chip) ---
+        # built before the data tables: on a multi-process (pod) run the
+        # tables must be placed replicated over the GLOBAL mesh
+        self.mesh = meshlib.mesh_for_config(cfg)
+        self.batch_sharding = (meshlib.batch_sharding(self.mesh)
+                               if self.mesh is not None else None)
+        self.multiprocess = dist.is_multiprocess()
+        self.is_main = dist.is_main_process()
 
         # --- data (host ingest -> HBM tables, or host-side for big scenes) ---
         train_scene = load_scene(cfg.img_dir, cfg.data_type, "train", cfg.low_res)
@@ -41,7 +51,8 @@ class Runner:
             train_scene.poses_bounds = recenter_and_rescale(
                 train_scene.poses_bounds)
         table_kw = dict(pixel_dtype=cfg.pixel_dtype,
-                        device_pixels=not cfg.host_feed)
+                        device_pixels=not cfg.host_feed,
+                        mesh=self.mesh if self.multiprocess else None)
         self.train_table = RayTable(train_scene, **table_kw)
         # llff splits are identical (Q10); avoid re-ingesting the same images
         if cfg.data_type == "llff":
@@ -61,11 +72,6 @@ class Runner:
             (float(self.train_table.height), float(self.train_table.width),
              float(self.train_table.focal))
             if cfg.ndc and cfg.data_type == "llff" else None)
-
-        # --- mesh / sharding (ray-DP; single-device when 1 chip) ---
-        self.mesh = meshlib.mesh_for_config(cfg)
-        self.batch_sharding = (meshlib.batch_sharding(self.mesh)
-                               if self.mesh is not None else None)
 
         # --- state (fresh or resumed-latest, reference nerf.py:402-420) ---
         self.last_iter = -1
@@ -90,6 +96,15 @@ class Runner:
         if self.mesh is not None:
             self.state = meshlib.replicate_state(self.state, self.mesh)
 
+        if cfg.occ_grid and cfg.occ_march_steps is None:
+            # probe count must out-resolve the 3-cell dilation margin for
+            # this scene's actual ray span (core/occupancy.py)
+            from tinynerf.core.occupancy import derive_march_steps
+            pb = np.asarray(self.train_table.poses)
+            cfg.occ_march_steps = derive_march_steps(
+                cfg.occ_res, cfg.occ_extent,
+                float(np.max(pb[:, 16] - pb[:, 15])))
+
         if cfg.occ_grid and cfg.data_type == "sync" and not cfg.white_bkgd:
             raise ValueError(
                 "OCC_GRID on a white-composited (sync) scene requires "
@@ -97,8 +112,14 @@ class Runner:
                 "to the background and would train toward black against "
                 "white ground truth.")
 
-        self.logger = MetricLogger(os.path.join(cfg.log_dir, self.start_time))
+        # metric/artifact writes are process-0-owned on pod runs
+        from tinynerf.logging import NullLogger
+        self.logger = (MetricLogger(os.path.join(cfg.log_dir, self.start_time))
+                       if self.is_main else NullLogger())
         self._step_fns = {}
+        # pod runs: bring the collective context up on a trivial program
+        # before the first train-step compile (see distributed.barrier)
+        dist.barrier("runner_init")
 
     def _step_fn(self, table: RayTable):
         key = id(table)
@@ -125,15 +146,40 @@ class Runner:
 
     def train(self, mode: str = "train") -> None:
         """Run the training loop until ``total_iter`` (resuming mid-count).
-        ``mode="val"`` runs ``step`` iterations of forward/backward on the val
-        split for loss tracking (the reference's single-epoch val pass)."""
+
+        ``mode="val"`` runs ONE FULL EPOCH over the val split — a shuffled
+        without-replacement pass visiting every val pixel once, batches of
+        ``batch_ray`` with the remainder dropped, exactly the reference's
+        ``trainer("val")`` DataLoader epoch (``nerf.py:498-499``; shuffle=True
+        drop_last=True). Like the reference, the val pass runs the full
+        forward/backward/optimizer step (the code path is shared).
+        Under ``host_feed`` (no device pixel table) the epoch length is kept
+        but batches come from the with-replacement C++ feeder — a documented
+        approximation for the big-scene path."""
         cfg = self.cfg
         table = {"train": self.train_table, "val": self.val_table}[mode]
-        step_fn = self._step_fn(table)
         canvas = PreviewCanvas(table.height, table.width)
 
         start = int(self.state.iteration)
-        end = start + cfg.step if mode == "val" else cfg.total_iter
+        idx_epoch = None
+        if mode == "val":
+            n_batches = table.num_pix // cfg.batch_ray  # drop_last
+            end = start + n_batches
+            if not cfg.host_feed:
+                perm = jax.random.permutation(
+                    jax.random.fold_in(self.state.key, start),
+                    table.num_pix)[: n_batches * cfg.batch_ray]
+                idx_epoch = perm.reshape(n_batches, cfg.batch_ray).astype(
+                    jnp.int32)
+                step_fn = trainlib.make_indexed_train_step(
+                    cfg, table, self.k_inv,
+                    batch_sharding=self.batch_sharding,
+                    ndc_params=self.ndc_params)
+            else:
+                step_fn = self._step_fn(table)
+        else:
+            end = cfg.total_iter
+            step_fn = self._step_fn(table)
         print(f"[STEP] {mode}: iterations {start} -> {end}")
         feeder = self._make_feeder(table) if cfg.host_feed else None
         profiling_until = (start + cfg.profile_steps
@@ -145,17 +191,23 @@ class Runner:
         # stream) unless the host feeder or the profiler needs per-step
         # host control. Chunk divides the logging cadence so checkpoints
         # land exactly on (it+1) % STEP == 0 boundaries.
+        def _make_multi(n):
+            if n <= 1:
+                return None
+            if idx_epoch is not None:
+                return trainlib.make_chunked_indexed_step(step_fn, n)
+            return trainlib.make_chunked_step(step_fn, n)
+
         chunked = feeder is None and profiling_until < 0
         chunk = self._chunk_size(cfg.step) if chunked else 1
-        multi_fn = (trainlib.make_chunked_step(step_fn, chunk)
-                    if chunked and chunk > 1 else None)
+        multi_fn = _make_multi(chunk) if chunked else None
 
         try:  # reference-style progress bar (nerf.py:458)
             from tqdm import tqdm
             bar = tqdm(total=end - start, unit="it", dynamic_ncols=True)
         except ImportError:
             bar = None
-        t0 = time.perf_counter()
+        meter = Throughput(rays_per_step=cfg.batch_ray)
         it = start
         while it < end:
             if it == profiling_until:
@@ -166,17 +218,21 @@ class Runner:
                 profiling_until = -1
                 chunked = feeder is None
                 chunk = self._chunk_size(cfg.step) if chunked else 1
-                multi_fn = (trainlib.make_chunked_step(step_fn, chunk)
-                            if chunked and chunk > 1 else None)
+                multi_fn = _make_multi(chunk) if chunked else None
 
             if multi_fn is not None and it + chunk <= end:
-                self.state, metrics = multi_fn(self.state)
+                if idx_epoch is not None:
+                    self.state, metrics = multi_fn(
+                        self.state, idx_epoch[it - start: it - start + chunk])
+                else:
+                    self.state, metrics = multi_fn(self.state)
                 losses = np.asarray(metrics["loss"])
                 lrs = np.asarray(metrics["lr"])
                 for j in range(chunk):
                     self.logger.log(it + j, {f"loss/{mode}": losses[j],
                                              f"lr/{mode}": lrs[j]})
                 it += chunk
+                meter.tick(chunk)
                 metrics = {**metrics, "loss": losses[-1]}
                 if bar is not None:
                     bar.update(chunk)
@@ -188,11 +244,15 @@ class Runner:
                         rgb=jnp.asarray(rgb), pose17=jnp.asarray(pose),
                         pic=jnp.asarray(pic))
                     self.state, metrics = step_fn(self.state, batch)
+                elif idx_epoch is not None:
+                    self.state, metrics = step_fn(self.state,
+                                                  idx_epoch[it - start])
                 else:
                     self.state, metrics = step_fn(self.state)
                 self.logger.log(it, {f"loss/{mode}": metrics["loss"],
                                      f"lr/{mode}": metrics["lr"]})
                 it += 1
+                meter.tick(1)
                 if bar is not None:
                     bar.update(1)
 
@@ -200,15 +260,20 @@ class Runner:
                 loss = float(np.asarray(metrics["loss"]))
                 c_t = np.asarray(metrics["c_true0"])
                 c_f = np.asarray(metrics["c_fine0"])
-                rate = cfg.step * cfg.batch_ray / (time.perf_counter() - t0)
+                rate = meter.rays_per_sec
                 print(f"[ITER] {it - 1} [LOSS] {loss:.4f} "
                       f"[T] ({c_t[0]:.4f} {c_t[1]:.4f} {c_t[2]:.4f}) "
                       f"[F] ({c_f[0]:.4f} {c_f[1]:.4f} {c_f[2]:.4f}) "
                       f"[RAYS/S] {rate:,.0f}")
                 self.logger.flush()
-                if mode == "train":
-                    canvas.update(metrics["rows"], metrics["cols"],
-                                  metrics["rgb"], metrics["pic"])
+                if mode == "train" and self.is_main:
+                    # process-0 owns the preview + checkpoint artifacts; on a
+                    # pod the preview fields may be sharded across processes,
+                    # so read back only what this host can address
+                    canvas.update(dist.to_host(metrics["rows"]),
+                                  dist.to_host(metrics["cols"]),
+                                  dist.to_host(metrics["rgb"]),
+                                  dist.to_host(metrics["pic"]))
                     os.makedirs(cfg.results_path, exist_ok=True)
                     canvas.save(os.path.join(
                         cfg.results_path, f"{self.start_time}_{it - 1}.jpg"))
@@ -219,8 +284,9 @@ class Runner:
                         key=jax.device_get(self.state.key),
                         occ=(jax.device_get(self.state.occ)
                              if self.state.occ is not None else None))
+                if mode == "train":
                     self.last_iter = it - 1
-                t0 = time.perf_counter()
+                meter.reset()
         if bar is not None:
             bar.close()
         if profiling_until > 0:  # loop shorter than the trace window
@@ -269,4 +335,6 @@ class Runner:
         print(f"Rendering {n_views}-view path at "
               f"{int(hwf[0])}x{int(hwf[1])} -> {out_base}")
         evallib.render_path(self.cfg, self.state.params, pose_rows, k_inv,
-                            out_base, ndc_params=self.ndc_params)
+                            out_base, ndc_params=self.ndc_params,
+                            batch_sharding=self.batch_sharding,
+                            occ_grid=self.state.occ)

@@ -92,7 +92,8 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
             key=key if cfg.stratified else None,
             compat_sort=cfg.compat_sort, ndc_params=ndc_params,
-            white_bkgd=cfg.white_bkgd, occ_grid=occ)
+            white_bkgd=cfg.white_bkgd, occ_grid=occ,
+            occ_march=cfg.occ_march_steps)
         return render.ray_loss(c_co, c_fi, batch.rgb), (c_co, c_fi)
 
     return loss_fn
@@ -119,6 +120,31 @@ def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key,
         state.iteration % cfg.occ_update_every == 0, do, lambda g: g,
         state.occ)
 
+def _apply_batch(cfg: Config, loss_fn, lr_fn, field_fn, batch_sharding,
+                 state: TrainState, batch, skey, okey,
+                 ) -> Tuple[TrainState, dict]:
+    """Shared step body: occ refresh -> grad -> Adam -> metrics. All three
+    step builders (sampled / host-fed / indexed-epoch) trace through this."""
+    occ = _maybe_update_occ(cfg, state, field_fn, okey,
+                            cell_sharding=batch_sharding)
+    if batch_sharding is not None:
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
+            if x.ndim >= 1 else x, batch)
+    (loss, (c_co, c_fi)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params, batch, skey, occ)
+    lr = lr_fn(state.iteration)
+    params, opt = optim.adam_update(grads, state.opt, state.params, lr)
+    metrics = {"loss": loss, "lr": lr,
+               "c_true0": batch.rgb[0], "c_fine0": c_fi[0],
+               # last-step batch, for the host-side preview canvas
+               "rows": batch.rows, "cols": batch.cols,
+               "rgb": batch.rgb, "pic": batch.pic}
+    return TrainState(params=params, opt=opt,
+                      iteration=state.iteration + 1, key=state.key,
+                      occ=occ), metrics
+
+
 def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
                     field_fn: Optional[render.FieldFn] = None,
                     batch_sharding=None, ndc_params=None,
@@ -130,30 +156,14 @@ def make_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
     """
     loss_fn = make_loss_fn(cfg, k_inv, field_fn, ndc_params)
     lr_fn = optim.make_lr_fn(cfg)
-
     field_fn_resolved = field_fn or make_field_fn(cfg)
 
     def step(state: TrainState) -> Tuple[TrainState, dict]:
         key, bkey, skey, okey = jax.random.split(state.key, 4)
-        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey,
-                                cell_sharding=batch_sharding)
         batch = table.sample(bkey, cfg.batch_ray)
-        if batch_sharding is not None:
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
-                if x.ndim >= 1 else x, batch)
-        (loss, (c_co, c_fi)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, skey, occ)
-        lr = lr_fn(state.iteration)
-        params, opt = optim.adam_update(grads, state.opt, state.params, lr)
-        metrics = {"loss": loss, "lr": lr,
-                   "c_true0": batch.rgb[0], "c_fine0": c_fi[0],
-                   # last-step batch, for the host-side preview canvas
-                   "rows": batch.rows, "cols": batch.cols,
-                   "rgb": batch.rgb, "pic": batch.pic}
-        return TrainState(params=params, opt=opt,
-                          iteration=state.iteration + 1, key=key,
-                          occ=occ), metrics
+        return _apply_batch(cfg, loss_fn, lr_fn, field_fn_resolved,
+                            batch_sharding, state._replace(key=key),
+                            batch, skey, okey)
 
     return jax.jit(step, donate_argnums=0)
 
@@ -174,23 +184,32 @@ def make_host_fed_train_step(cfg: Config, k_inv: jnp.ndarray,
 
     def step(state: TrainState, batch) -> Tuple[TrainState, dict]:
         key, skey, okey = jax.random.split(state.key, 3)
-        occ = _maybe_update_occ(cfg, state, field_fn_resolved, okey,
-                                cell_sharding=batch_sharding)
-        if batch_sharding is not None:
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.lax.with_sharding_constraint(x, batch_sharding)
-                if x.ndim >= 1 else x, batch)
-        (loss, (c_co, c_fi)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, skey, occ)
-        lr = lr_fn(state.iteration)
-        params, opt = optim.adam_update(grads, state.opt, state.params, lr)
-        metrics = {"loss": loss, "lr": lr,
-                   "c_true0": batch.rgb[0], "c_fine0": c_fi[0],
-                   "rows": batch.rows, "cols": batch.cols,
-                   "rgb": batch.rgb, "pic": batch.pic}
-        return TrainState(params=params, opt=opt,
-                          iteration=state.iteration + 1, key=key,
-                          occ=occ), metrics
+        return _apply_batch(cfg, loss_fn, lr_fn, field_fn_resolved,
+                            batch_sharding, state._replace(key=key),
+                            batch, skey, okey)
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_indexed_train_step(cfg: Config, table: RayTable, k_inv: jnp.ndarray,
+                            field_fn: Optional[render.FieldFn] = None,
+                            batch_sharding=None, ndc_params=None) -> Callable:
+    """Train step over a GIVEN (B,) array of flat pixel indices.
+
+    The epoch path: the caller owns the index stream, so a shuffled
+    without-replacement permutation reproduces the reference DataLoader's
+    ``shuffle=True, drop_last=True`` epoch semantics exactly (used by the
+    Runner's val mode, reference ``nerf.py:498-499``)."""
+    loss_fn = make_loss_fn(cfg, k_inv, field_fn, ndc_params)
+    lr_fn = optim.make_lr_fn(cfg)
+    field_fn_resolved = field_fn or make_field_fn(cfg)
+
+    def step(state: TrainState, idx: jnp.ndarray) -> Tuple[TrainState, dict]:
+        key, skey, okey = jax.random.split(state.key, 3)
+        batch = table.gather(idx)
+        return _apply_batch(cfg, loss_fn, lr_fn, field_fn_resolved,
+                            batch_sharding, state._replace(key=key),
+                            batch, skey, okey)
 
     return jax.jit(step, donate_argnums=0)
 
@@ -205,6 +224,25 @@ def make_multi_step(step_fn: Callable, unroll: int) -> Callable:
 
     def multi(state):
         return jax.lax.scan(body, state, None, length=unroll)
+
+    return jax.jit(multi, donate_argnums=0)
+
+
+def make_chunked_indexed_step(step_fn: Callable, unroll: int) -> Callable:
+    """Scan-fused epoch chunk: ``multi(state, idx (unroll, B)) -> (state,
+    metrics)`` with the same metric semantics as :func:`make_chunked_step`.
+    One dispatch per ``unroll`` epoch batches (the val-pass fast path)."""
+    def body(state, idx):
+        state, metrics = step_fn(state, idx)
+        scalars = {"loss": metrics["loss"], "lr": metrics["lr"]}
+        last = {k: metrics[k]
+                for k in ("c_true0", "c_fine0", "rows", "cols", "rgb", "pic")}
+        return state, (scalars, last)
+
+    def multi(state, idx_chunk):
+        state, (scalars, last) = jax.lax.scan(body, state, idx_chunk)
+        last = jax.tree_util.tree_map(lambda x: x[-1], last)
+        return state, {**scalars, **last}
 
     return jax.jit(multi, donate_argnums=0)
 

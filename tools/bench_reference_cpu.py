@@ -42,6 +42,25 @@ def tstep():
     loss.backward()
     opt.step()
 
+if "--render" in sys.argv:
+    # display()-style unit of work: no_grad forward per 400-ray batch
+    # (reference nerf.py:510-520); an 800x800 view is 1,600 such batches
+    model.eval()
+    def rstep():
+        with torch.no_grad():
+            model(torch.tensor(row), torch.tensor(col),
+                  torch.tensor(pose17), k_inv_t)
+    rstep()  # warmup
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        rstep()
+    dt = (time.perf_counter() - t0) / n
+    print(f"reference torch CPU render: {dt*1e3:.1f} ms/batch "
+          f"-> {dt * (800 * 800 / B):,.0f} s per 800x800 frame "
+          f"({B / dt:,.0f} rays/s)")
+    sys.exit(0)
+
 tstep()  # warmup
 n = 5
 t0 = time.perf_counter()
