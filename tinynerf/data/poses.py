@@ -149,7 +149,13 @@ def load_scene(root_dir: str, data_type: str, mode: str,
     if not os.path.isfile(cache):
         rows = (_build_llff_rows(root_dir) if data_type == "llff"
                 else _build_sync_rows(root_dir, mode))
-        np.save(cache, rows)
+        # atomic publish: on multi-process (pod) runs every host ingests the
+        # same scene concurrently — a temp-file + rename means a concurrent
+        # reader sees either no cache (and rebuilds identically) or a
+        # complete one, never a partial write
+        tmp = f"{cache}.{os.getpid()}.tmp.npy"  # .npy: np.save appends none
+        np.save(tmp, rows)
+        os.replace(tmp, cache)
     poses_bounds = np.load(cache)
 
     files = sorted_image_files(img_dir)

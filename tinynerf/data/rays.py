@@ -49,7 +49,11 @@ class RayTable:
     """
 
     def __init__(self, scene: SceneData, pixel_dtype: str = "f32",
-                 device_pixels: bool = True):
+                 device_pixels: bool = True, mesh=None):
+        """``mesh``: replicate the device tables over this Mesh instead of
+        the default device — REQUIRED when the mesh spans multiple processes
+        (a pod), where single-device arrays cannot feed a global computation
+        (every process builds the same tables from the same scene files)."""
         if pixel_dtype not in ("f32", "u8"):
             raise ValueError(f"pixel_dtype must be 'f32' or 'u8', got {pixel_dtype!r}")
         self.height = int(scene.height)
@@ -66,8 +70,16 @@ class RayTable:
             flat = np.clip(np.rint(flat * 255.0), 0, 255).astype(np.uint8)
         # host copy retained for the native prefetcher and image() readback
         self.host_pixels = flat
-        self.pixels = jnp.asarray(flat) if device_pixels else None
-        self.poses = jnp.asarray(scene.poses_bounds, dtype=jnp.float32)
+        if mesh is not None:
+            from tinynerf.parallel.distributed import put_replicated
+            placed = put_replicated(
+                {"pix": flat if device_pixels else np.zeros((0, 3), flat.dtype),
+                 "poses": np.asarray(scene.poses_bounds, np.float32)}, mesh)
+            self.pixels = placed["pix"] if device_pixels else None
+            self.poses = placed["poses"]
+        else:
+            self.pixels = jnp.asarray(flat) if device_pixels else None
+            self.poses = jnp.asarray(scene.poses_bounds, dtype=jnp.float32)
 
     def _dequant(self, rgb: jnp.ndarray) -> jnp.ndarray:
         if self.pixel_dtype == "u8":

@@ -49,7 +49,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def replicate_state(state, mesh: Mesh):
-    """Place a TrainState (or any pytree) replicated on every mesh device."""
+    """Place a TrainState (or any pytree) replicated on every mesh device.
+    Works on meshes spanning multiple processes (pod path): device_put
+    cannot target non-addressable devices, so the cross-process case goes
+    through the callback-based placement in ``distributed.put_replicated``."""
+    if jax.process_count() > 1:
+        from tinynerf.parallel.distributed import put_replicated
+        return put_replicated(state, mesh)
     return jax.device_put(state, replicated(mesh))
 
 
