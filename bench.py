@@ -30,6 +30,11 @@ import time
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 8_000.0  # estimated PyTorch-GPU baseline (see above)
+REF_CPU_TRAIN_RAYS_PER_SEC = 92.0  # MEASURED: tools/bench_reference_cpu.py
+REF_CPU_RENDER_SEC_PER_FRAME = 2_184.0  # MEASURED: 1.365 s per 400-ray
+# no-grad batch x 1,600 batches/view (tools/bench_reference_cpu.py --render,
+# BASELINE.md) — the render ratio divides two measurements on this host;
+# the train ratio is measured-vs-GPU-estimate and is labeled as such
 
 
 def main() -> None:
@@ -115,11 +120,11 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         sec = min(times)
         print(f"render times={['%.3f' % t for t in times]}", file=sys.stderr)
-        # baseline: reference renders 1,600 batches/view with 3 host syncs
-        # each; at the same optimistic 20 it/s -> 80 s/frame on GPU
         print(json.dumps({
             "metric": "render_800x800_sec_per_frame", "value": round(sec, 3),
-            "unit": "s", "vs_baseline": round(80.0 / sec, 2)}))
+            "unit": "s",
+            "vs_baseline": round(REF_CPU_RENDER_SEC_PER_FRAME / sec, 2),
+            "baseline_basis": "measured_reference_cpu_2184s_per_frame"}))
         return
 
     step = trainlib.make_train_step(cfg, table, k_inv)
@@ -161,6 +166,8 @@ def main() -> None:
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
+        "baseline_basis": "estimated_reference_gpu_8k_rays_per_sec",
+        "vs_cpu_measured": round(rays_per_sec / REF_CPU_TRAIN_RAYS_PER_SEC, 1),
     }
     print(f"times={['%.4f' % t for t in times]} "
           f"loss_last={float(np.asarray(losses)[-1]):.4f} "
