@@ -10,6 +10,15 @@ Adam (reference ``conf/lego.ini``, ``nerf.py:445-475``), on a synthetic
 batch-size-independent throughput metric — pass --batch 400 for the literal
 reference batch).
 
+Default model config since round 3: PROPOSAL (narrow coarse field +
+full-size fine net). This deviates from the reference's shared-single-net
+architecture but is measured STRICTLY dominant on the 20k-iter validation
+protocol — 23.58 dB at ~150k rays/s vs 18.37 dB at ~110k for reference
+semantics (VALIDATION.md round-3 table) — i.e. faster AND higher quality,
+like the bf16/Pallas choices before it. ``--no-proposal`` measures the
+reference-architecture config; the JSON carries a ``config`` field naming
+the measured variant.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md). The comparison
 point is an estimated 8,000 rays/sec for the PyTorch reference on a modern
 single GPU: its loop is bounded by 3 mandatory host<->device syncs per
@@ -52,6 +61,16 @@ def main() -> None:
     parser.add_argument("--fused", action="store_true",
                         help="EXPERIMENTAL whole-renderer fusion (measured "
                              "slower; see kernels/render_kernel.py)")
+    parser.add_argument("--proposal", dest="proposal", action="store_true",
+                        default=True,
+                        help="narrow proposal net for the coarse pass "
+                             "(PROPOSAL config; ~9x fewer coarse FLOPs). "
+                             "DEFAULT since round 3: measured strictly "
+                             "dominant — +36%% rays/s AND +5.2 dB on the "
+                             "20k-iter validation protocol (VALIDATION.md)")
+    parser.add_argument("--no-proposal", dest="proposal", action="store_false",
+                        help="reference-architecture config (shared single "
+                             "net for coarse+fine, the Config default)")
     parser.add_argument("--occ", action="store_true",
                         help="measure with the occupancy grid enabled "
                              "(empty-space skipping; trades ~9%% rays/s for "
@@ -80,7 +99,8 @@ def main() -> None:
                  n_fine=args.fine, precision=args.precision,
                  use_pallas=not args.no_pallas,
                  fused_render=args.fused, seed=seed,
-                 occ_grid=args.occ, white_bkgd=args.occ)
+                 occ_grid=args.occ, white_bkgd=args.occ,
+                 proposal=args.proposal)
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)
@@ -168,6 +188,8 @@ def main() -> None:
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
         "baseline_basis": "estimated_reference_gpu_8k_rays_per_sec",
         "vs_cpu_measured": round(rays_per_sec / REF_CPU_TRAIN_RAYS_PER_SEC, 1),
+        "config": ("proposal_coarse" if args.proposal
+                   else "reference_shared_net"),
     }
     print(f"times={['%.4f' % t for t in times]} "
           f"loss_last={float(np.asarray(losses)[-1]):.4f} "

@@ -60,12 +60,24 @@ class Config:
     stratified: bool = False          # jittered coarse samples (off = reference Q7)
     ndc: bool = False                 # NDC warp for llff (opt-in, north-star config)
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all local
+    sample_shard: int = 0             # >1: shard the FINE sample axis over a
+                                      # 2-D (data x sample) mesh for deep
+                                      # marches (eval/render path; SP analog,
+                                      # parallel/sample_shard.py)
     log_dir: str = "./runs/"
     render_chunk: int = 4096          # rays per eval-render microbatch
     pixel_dtype: str = "f32"          # "f32" | "u8" HBM pixel table storage
     host_feed: bool = False           # C++ host prefetcher instead of HBM table
     profile_steps: int = 0            # capture a jax trace of N initial steps
     white_bkgd: bool = False          # standard NeRF white-background term (opt-in)
+    proposal: bool = False            # narrow proposal net for the coarse pass
+                                      # (mip-NeRF-360-style FLOP reduction;
+                                      # off = reference-shared single net)
+    proposal_width: int = 128         # proposal trunk width (128 = 1 MXU tile)
+    proposal_depth: int = 4           # proposal trunk depth
+    prop_pallas: bool = False         # dedicated proposal Pallas kernel —
+                                      # measured SLOWER than XLA on the
+                                      # narrow net (see train.py); opt-in
     occ_grid: bool = False            # occupancy-grid empty-space skipping
     occ_res: int = 64                 # occupancy grid resolution per axis
     occ_extent: float = 1.5           # grid half-extent (world units)
@@ -86,11 +98,13 @@ class Config:
 _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
              "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY",
-             "OCC_MARCH_STEPS"}
+             "OCC_MARCH_STEPS", "PROPOSAL_WIDTH", "PROPOSAL_DEPTH",
+             "SAMPLE_SHARD"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
-              "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER"}
+              "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
+              "PROPOSAL", "PROP_PALLAS"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -109,6 +123,9 @@ _KEY_TO_FIELD = {
     "OCC_GRID": "occ_grid", "OCC_RES": "occ_res", "OCC_EXTENT": "occ_extent",
     "OCC_THRESH": "occ_thresh", "OCC_UPDATE_EVERY": "occ_update_every",
     "OCC_SUBSET": "occ_subset", "OCC_MARCH_STEPS": "occ_march_steps",
+    "PROPOSAL": "proposal", "PROPOSAL_WIDTH": "proposal_width",
+    "PROPOSAL_DEPTH": "proposal_depth", "PROP_PALLAS": "prop_pallas",
+    "SAMPLE_SHARD": "sample_shard",
 }
 
 

@@ -185,6 +185,8 @@ def render_rays(params: mlp.Params,
                 occ_grid=None,
                 occ_march: Optional[int] = None,
                 extras: bool = False,
+                prop_params=None,
+                prop_field_fn: Optional[FieldFn] = None,
                 ):
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
 
@@ -212,6 +214,23 @@ def render_rays(params: mlp.Params,
     it, white-composited Blender scenes force the network to fabricate
     white-emitting density along empty rays, which projects as floaters from
     novel views (SURVEY.md §2.7 notes the absence).
+
+    ``prop_params`` (opt-in, PROPOSAL config): evaluate the COARSE pass with
+    the narrow proposal field (``core/proposal.py``) instead of the shared
+    reference network, and composite the fine pass STANDALONE over the
+    ``n_fine`` resampled samples (mip-NeRF-360-style). Two deliberate
+    deviations from the reference semantics in this opt-in mode, both
+    standard proposal-network practice and both REQUIRED for stability
+    (measured: the Q8 gradient leak + cross-net merged composite let the
+    fine loss zero out the proposal's sigma — a 20k-iter TPU run collapsed
+    from loss 404 to ~3000 between iters 2k-5k):
+    - the resampler CDF is stop-gradient'd, so the proposal trains ONLY on
+      its own coarse RGB loss (exactly original NeRF's detached
+      ``sample_pdf``; the reference leaks gradients (Q8) but shares ONE net
+      between the passes, where the leak is harmless);
+    - C_fine integrates just the fine samples — proposal-valued coarse
+      samples do not enter the final image, so the proposal's capacity
+      bounds sample PLACEMENT, never rendered quality.
     """
     origins, dirs, near, far = raylib.pixels_to_rays(rows, cols, pose17, k_inv)
     if occ_grid is not None and ndc_params is None:
@@ -236,16 +255,31 @@ def render_rays(params: mlp.Params,
     # merge_impl so an opted-in run only uses it for grad-free renders.
     fused = getattr(field_fn, "render_fused", None)
     if (fused is not None and n_fine > 0 and not compat_sort
-            and merge_impl == "twolist" and not extras):
+            and merge_impl == "twolist" and not extras
+            and prop_params is None):
         t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
         return fused(params, origins, dirs, t_co, near, far, n_fine=n_fine,
                      white_bkgd=white_bkgd)
     if extras:
         merge_impl = "twolist"
+    if merge_impl == "permute" and n_coarse + n_fine > 256:
+        # the permute merge's rank compare-count is (B, N, N) — quadratic in
+        # total samples. Past 256/ray switch to the twolist merge, whose
+        # largest intermediate is the (B, N_c, N_f) cross mask; for deep
+        # marches beyond THAT, shard the fine axis over the mesh
+        # (SAMPLE_SHARD / parallel/sample_shard.py).
+        merge_impl = "twolist"
 
     # ---- coarse pass (nerf.py:288-295) ----
     t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
-    color_co, sigma_co = _eval_field(field_fn, params, origins, dirs, t_co)
+    if prop_params is not None:
+        if prop_field_fn is None:
+            from tinynerf.core.proposal import field_proposal
+            prop_field_fn = field_proposal
+        color_co, sigma_co = _eval_field(prop_field_fn, prop_params,
+                                         origins, dirs, t_co)
+    else:
+        color_co, sigma_co = _eval_field(field_fn, params, origins, dirs, t_co)
     delta_ray = (far - near) / n_coarse  # (B,)
     delta_co = jnp.broadcast_to(delta_ray[:, None], t_co.shape)
     dense_co = get_density(delta_co, sigma_co)
@@ -261,9 +295,27 @@ def render_rays(params: mlp.Params,
     # — the reference takes ``t_coarse[0,1] - t_coarse[0,0]`` (nerf.py:234),
     # which differs from the density delta (far-near)/N_c above (a reference
     # inconsistency kept for parity; per-ray rather than ray-0 per D3)
-    t_fi = sampling.resample(t_co, dense_co, (far - near) / (n_coarse - 1),
-                             n_fine)
+    dense_for_cdf = (jax.lax.stop_gradient(dense_co)
+                     if prop_params is not None else dense_co)
+    t_fi = sampling.resample(t_co, dense_for_cdf,
+                             (far - near) / (n_coarse - 1), n_fine)
     color_fi, sigma_fi = _eval_field(field_fn, params, origins, dirs, t_fi)
+
+    if prop_params is not None:
+        # standalone fine composite (see the prop_params docstring note)
+        delta_fi = jnp.concatenate(
+            [t_fi[:, 1:] - t_fi[:, :-1],
+             jnp.full_like(t_fi[:, :1], TAIL_DELTA)], axis=1)
+        dense_fi = get_density(delta_fi, sigma_fi)
+        c_fine = composite(dense_fi, color_fi)
+        acc_fi = jnp.sum(dense_fi, axis=1)
+        if white_bkgd:
+            c_fine = c_fine + (1.0 - acc_fi)[:, None]
+        if extras:
+            depth = (jnp.sum(dense_fi * t_fi, axis=1)
+                     / jnp.maximum(acc_fi, 1e-10))
+            return c_coarse, c_fine, depth, acc_fi
+        return c_coarse, c_fine
 
     cat = lambda a, b: jnp.concatenate([a, b], axis=1)
     if compat_sort:

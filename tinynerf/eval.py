@@ -43,11 +43,13 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
     if field_fn is None:
         from tinynerf.train import make_field_fn
         field_fn = make_field_fn(cfg)
+    from tinynerf.train import make_prop_field_fn, net_params, prop_params
+    prop_fn = make_prop_field_fn(cfg)
     num_pix = height * width
 
     if (getattr(field_fn, "render_fused", None) is not None
             and batch_sharding is None and not cfg.compat_sort
-            and cfg.n_fine > 0 and not extras):
+            and cfg.n_fine > 0 and not extras and not cfg.proposal):
         rr, cc = np.meshgrid(np.arange(height, dtype=np.float32),
                              np.arange(width, dtype=np.float32),
                              indexing="ij")
@@ -59,8 +61,9 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
             pose = jnp.broadcast_to(pose17_row.astype(jnp.float32),
                                     (num_pix, 17))
             _, c_fine = render.render_rays(
-                params, rows_f, cols_f, pose, k_inv, cfg.n_coarse,
-                cfg.n_fine, field_fn=field_fn, ndc_params=ndc_params,
+                net_params(cfg, params), rows_f, cols_f, pose, k_inv,
+                cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
+                ndc_params=ndc_params,
                 merge_impl="twolist", white_bkgd=cfg.white_bkgd,
                 occ_grid=occ_grid, occ_march=cfg.occ_march_steps)
             return c_fine.reshape(height, width, 3)
@@ -89,17 +92,35 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
     def frame(params, pose17_row):
         pose = jnp.broadcast_to(pose17_row.astype(jnp.float32), (chunk, 17))
 
+        # deep-march path: fine samples sharded over the mesh's sample axis
+        sh_render = None
+        if (cfg.sample_shard > 1 and batch_sharding is not None
+                and "sample" in dict(batch_sharding.mesh.shape)
+                and occ_grid is None and not extras and not cfg.compat_sort
+                and not cfg.proposal and cfg.n_fine > 0):
+            from tinynerf.parallel.sample_shard import (
+                make_sample_sharded_render)
+            sh_render = make_sample_sharded_render(
+                batch_sharding.mesh, k_inv, cfg.n_coarse, cfg.n_fine,
+                field_fn=field_fn, white_bkgd=cfg.white_bkgd)
+
         def one_chunk(rc):
             r, c = rc
+            if sh_render is not None:
+                _, c_fine = sh_render(params, r, c, pose)
+                return c_fine
             if batch_sharding is not None:
                 r = jax.lax.with_sharding_constraint(r, batch_sharding)
                 c = jax.lax.with_sharding_constraint(c, batch_sharding)
             out = render.render_rays(
-                params, r, c, pose, k_inv, cfg.n_coarse, cfg.n_fine,
+                net_params(cfg, params), r, c, pose, k_inv,
+                cfg.n_coarse, cfg.n_fine,
                 field_fn=field_fn, compat_sort=cfg.compat_sort,
                 ndc_params=ndc_params, merge_impl="twolist",
                 white_bkgd=cfg.white_bkgd, occ_grid=occ_grid,
-                occ_march=cfg.occ_march_steps, extras=extras)
+                occ_march=cfg.occ_march_steps, extras=extras,
+                prop_params=prop_params(cfg, params),
+                prop_field_fn=prop_fn)
             if extras:
                 return out[1], out[2], out[3]
             return out[1]

@@ -29,6 +29,16 @@ class TrainState(NamedTuple):
     occ: Any = None         # OccGrid when empty-space skipping is enabled
 
 
+def net_params(cfg: Config, params: Any) -> Any:
+    """The main-field param tree. With PROPOSAL the train-state params are a
+    ``{"net", "prop"}`` pair (one Adam over both); plain tree otherwise."""
+    return params["net"] if cfg.proposal else params
+
+
+def prop_params(cfg: Config, params: Any) -> Optional[Any]:
+    return params["prop"] if cfg.proposal else None
+
+
 def init_state(cfg: Config, key: Optional[jax.Array] = None,
                params: Optional[Any] = None,
                opt_state: Optional[optim.AdamState] = None,
@@ -37,6 +47,12 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
     pkey, skey = jax.random.split(key)
     if params is None:
         params = mlp.init_network(pkey)
+        if cfg.proposal:
+            from tinynerf.core.proposal import init_proposal
+            pkey2 = jax.random.fold_in(pkey, 1)
+            params = {"net": params,
+                      "prop": init_proposal(pkey2, cfg.proposal_width,
+                                            cfg.proposal_depth)}
     if opt_state is None:
         opt_state = optim.adam_init(params)
     occ = None
@@ -79,21 +95,60 @@ def make_field_fn(cfg: Config, force_pallas: bool = False) -> render.FieldFn:
     return render.field_jnp
 
 
+def make_prop_field_fn(cfg: Config,
+                       force_pallas: bool = False) -> Optional[render.FieldFn]:
+    """The narrow proposal field for the coarse pass (None unless PROPOSAL).
+
+    Default is pure jnp even on TPU: the dedicated Pallas kernel
+    (``kernels/proposal_kernel.py``) MEASURED SLOWER than XLA's lowering of
+    the narrow net (29.3 vs ~26.5 ms/step at batch 4096 — per-row cost is
+    dominated by the fixed PE transcendentals, which the kernel serializes
+    across grid steps while XLA overlaps its fusions; larger kernel tiles
+    explode Mosaic compile time). ``prop_pallas=True`` opts the kernel in —
+    kept working + tested, same status as FUSED_RENDER."""
+    if not cfg.proposal:
+        return None
+    if (cfg.use_pallas and cfg.prop_pallas
+            and (force_pallas or jax.default_backend() == "tpu")):
+        import functools
+        from tinynerf.kernels.proposal_kernel import (prop_field_pallas,
+                                                      prop_field_pallas_rays)
+        dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+        fn = functools.partial(prop_field_pallas, compute_dtype=dtype)
+        fn.eval_rays = functools.partial(prop_field_pallas_rays,
+                                         compute_dtype=dtype)
+        return fn
+    from tinynerf.core.proposal import field_proposal
+    if cfg.precision == "bf16":
+        def bf16_prop(params, points, dirs):
+            color, sigma = field_proposal(
+                params, points.astype(jnp.bfloat16),
+                dirs.astype(jnp.bfloat16))
+            return color.astype(jnp.float32), sigma.astype(jnp.float32)
+        return bf16_prop
+    return field_proposal
+
+
 def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
                  field_fn: Optional[render.FieldFn] = None,
                  ndc_params=None) -> Callable:
     """loss(params, batch, key) -> (loss, (C_coarse, C_fine)). Shared by the
-    single-chip and mesh-sharded steps."""
+    single-chip and mesh-sharded steps. With PROPOSAL, ``params`` is the
+    combined {"net", "prop"} pair and the coarse pass runs the narrow field
+    (both nets train under the same sum loss, like the reference's shared
+    coarse+fine objective)."""
     field_fn = field_fn or make_field_fn(cfg)
+    prop_fn = make_prop_field_fn(cfg)
 
     def loss_fn(params, batch, key, occ=None):
         c_co, c_fi = render.render_rays(
-            params, batch.rows, batch.cols, batch.pose17, k_inv,
-            cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
+            net_params(cfg, params), batch.rows, batch.cols, batch.pose17,
+            k_inv, cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
             key=key if cfg.stratified else None,
             compat_sort=cfg.compat_sort, ndc_params=ndc_params,
             white_bkgd=cfg.white_bkgd, occ_grid=occ,
-            occ_march=cfg.occ_march_steps)
+            occ_march=cfg.occ_march_steps,
+            prop_params=prop_params(cfg, params), prop_field_fn=prop_fn)
         return render.ray_loss(c_co, c_fi, batch.rgb), (c_co, c_fi)
 
     return loss_fn
@@ -113,8 +168,8 @@ def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key,
               else max(1, int(n_total * cfg.occ_subset)))
 
     def do(g):
-        return update_grid(g, state.params, field_fn, key, subset=subset,
-                           cell_sharding=cell_sharding)
+        return update_grid(g, net_params(cfg, state.params), field_fn, key,
+                           subset=subset, cell_sharding=cell_sharding)
 
     return jax.lax.cond(
         state.iteration % cfg.occ_update_every == 0, do, lambda g: g,
