@@ -225,3 +225,89 @@ def test_sharded_occ_refresh_matches_unsharded():
         g, None, field, key, ema=0.0, cell_sharding=sharding))(grid0)
     np.testing.assert_allclose(np.asarray(sharded_f.density),
                                np.asarray(plain_f.density), atol=1e-6)
+
+
+@pytest.mark.parametrize("n_sample", [2, 4])
+def test_sharded_merged_fine_matches_merged_composite(n_sample):
+    """Sample-sharded merged composite == single-device merged_composite
+    on the concatenation of the shards' fine samples."""
+    rng = np.random.default_rng(1)
+    B, NC, NF = 4, 8, 16
+    t_co = np.sort(rng.uniform(2, 6, (B, NC)), axis=1).astype(np.float32)
+    t_fi = np.sort(rng.uniform(2, 6, (B, NF)), axis=1).astype(np.float32)
+    s_co = rng.uniform(0, 3, (B, NC)).astype(np.float32)
+    s_fi = rng.uniform(0, 3, (B, NF)).astype(np.float32)
+    c_co = rng.uniform(0, 1, (3, B, NC)).astype(np.float32)
+    c_fi = rng.uniform(0, 1, (3, B, NF)).astype(np.float32)
+
+    expected = render.merged_composite(
+        jnp.asarray(t_co), jnp.asarray(t_fi), jnp.asarray(s_co),
+        jnp.asarray(s_fi), tuple(jnp.asarray(c) for c in c_co),
+        tuple(jnp.asarray(c) for c in c_fi), white_bkgd=True)
+
+    mesh = Mesh(np.array(jax.devices()[:n_sample]), ("sample",))
+
+    def local(t_fi_l, s_fi_l, r_l, g_l, b_l):
+        return sample_shard.sharded_merged_fine(
+            jnp.asarray(t_co), t_fi_l, jnp.asarray(s_co), s_fi_l,
+            tuple(jnp.asarray(c) for c in c_co), (r_l, g_l, b_l),
+            white_bkgd=True, axis_name="sample")
+
+    got = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "sample"),) * 5,
+        out_specs=P(),
+        check_vma=False,
+    )(jnp.asarray(t_fi), jnp.asarray(s_fi), *(jnp.asarray(c) for c in c_fi))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sample_sharded_render_deep_march(setup):
+    """SAMPLE_SHARD deep-march path: N_FINE=512 on a 2x4 (data x sample)
+    mesh == single-device render_rays (twolist merge). Per-device mask
+    memory is (B/2, 8, 128) vs the single-device (B, 8, 512)."""
+    table, k_inv = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    from tinynerf.core import mlp
+    params = mlp.init_network(jax.random.PRNGKey(0))
+    B, NC, NF = 8, 8, 512
+    rng = np.random.default_rng(2)
+    rows = jnp.asarray(rng.uniform(0, table.height, B).astype(np.float32))
+    cols = jnp.asarray(rng.uniform(0, table.width, B).astype(np.float32))
+    pose = jnp.asarray(np.tile(np.asarray(table.poses)[0], (B, 1)))
+
+    mesh = meshlib.make_mesh_2d(2, 4)
+    fn = sample_shard.make_sample_sharded_render(mesh, k_inv, NC, NF,
+                                                 white_bkgd=True)
+    c_co_sh, c_fi_sh = fn(params, rows, cols, pose)
+
+    c_co, c_fi = render.render_rays(params, rows, cols, pose, k_inv, NC, NF,
+                                    merge_impl="twolist", white_bkgd=True)
+    np.testing.assert_allclose(np.asarray(c_co_sh), np.asarray(c_co),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c_fi_sh), np.asarray(c_fi),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sample_shard_frame_fn_matches_unsharded(setup):
+    """The SAMPLE_SHARD config key routes eval frames through the
+    sample-sharded renderer; output must match the plain frame path."""
+    table, k_inv = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    from tinynerf import eval as evallib
+    state = trainlib.init_state(_cfg())
+    pose = jnp.asarray(np.asarray(table.poses)[0])
+
+    cfg_sh = _cfg(sample_shard=4, render_chunk=64)
+    mesh = meshlib.mesh_for_config(cfg_sh)
+    assert dict(mesh.shape) == {"data": 2, "sample": 4}
+    fn_sh = evallib.make_frame_fn(cfg_sh, k_inv, table.height, table.width,
+                                  batch_sharding=meshlib.batch_sharding(mesh))
+    fn = evallib.make_frame_fn(_cfg(render_chunk=64), k_inv,
+                               table.height, table.width)
+    np.testing.assert_allclose(
+        np.asarray(fn_sh(state.params, pose)),
+        np.asarray(fn(state.params, pose)), rtol=1e-4, atol=1e-4)

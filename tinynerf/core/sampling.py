@@ -87,7 +87,9 @@ def coarse_ts(near: jnp.ndarray, far: jnp.ndarray, n_coarse: int,
 
 
 def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
-             delta_coarse: jnp.ndarray, n_fine: int) -> jnp.ndarray:
+             delta_coarse: jnp.ndarray, n_fine: int,
+             level_start: int = 0,
+             level_count: Optional[int] = None) -> jnp.ndarray:
     """On-device inverse-CDF hierarchical resampling.
 
     Args:
@@ -98,10 +100,14 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
         ``t_coarse[0,1] - t_coarse[0,0]`` (nerf.py:234), i.e. the inclusive
         linspace step, NOT the density delta ``(far - near) / N_c``.
       n_fine: number of fine samples N_f.
+      level_start / level_count: evaluate only levels
+        ``[level_start, level_start + level_count)`` of the N_f uniform
+        levels — the sample-sharded path (parallel/sample_shard.py) hands
+        each device its contiguous slice; defaults evaluate all N_f.
 
-    Returns: (B, N_f) fine sample distances, sorted per ray (CDF levels are
-    monotone and the CDF is nondecreasing, so the output is sorted by
-    construction — which the combined-pass merge relies on).
+    Returns: (B, level_count or N_f) fine sample distances, sorted per ray
+    (CDF levels are monotone and the CDF is nondecreasing, so the output is
+    sorted by construction — which the combined-pass merge relies on).
     """
     cdf = matmul_cumsum(dense_coarse)  # (B, N_c), nondecreasing
     # The levels are NOT differentiated: the reference computes low/high on
@@ -114,7 +120,11 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
 
     # N_f + 2 uniform levels between per-ray [low, high]; drop both endpoints
     # (reference nerf.py:243-246, computed there on the host with numpy).
-    frac = (jnp.arange(1, n_fine + 1, dtype=cdf.dtype) / (n_fine + 1))  # (N_f,)
+    if level_count is None:
+        level_count = n_fine
+    # static-shape arange + (possibly traced, e.g. axis_index) offset
+    frac = ((jnp.arange(1, level_count + 1, dtype=cdf.dtype) + level_start)
+            / (n_fine + 1))  # (level_count,)
     t_inv = low[:, None] + (high - low)[:, None] * frac[None, :]  # (B, N_f)
 
     # index of the CDF bin directly below each level (torch.searchsorted - 1,

@@ -103,9 +103,27 @@ def sharded_render_chunk(render_fn, mesh: Mesh, axis: str = DATA_AXIS):
     return wrapped
 
 
+def make_mesh_2d(n_data: int, n_sample: int, data_axis: str = DATA_AXIS,
+                 sample_axis: str = "sample") -> Mesh:
+    """2-D (data x sample) mesh: rays shard over ``data_axis``, the fine
+    sample axis over ``sample_axis`` (deep-march path, SAMPLE_SHARD)."""
+    devices = np.asarray(jax.devices()[: n_data * n_sample]).reshape(
+        n_data, n_sample)
+    return Mesh(devices, (data_axis, sample_axis))
+
+
 def mesh_for_config(cfg: Config) -> Optional[Mesh]:
-    """Build the data mesh a config asks for; None when single-device."""
+    """Build the mesh a config asks for; None when single-device.
+    ``SAMPLE_SHARD > 1`` folds a sample axis into a 2-D mesh; the train
+    step still shards only rays (P("data")), while the eval/render path
+    additionally spreads deep fine marches over the sample axis."""
     n = cfg.mesh_shape if cfg.mesh_shape is not None else len(jax.devices())
     if n <= 1:
         return None
+    ss = getattr(cfg, "sample_shard", 0) or 0
+    if ss > 1:
+        if n % ss != 0:
+            raise ValueError(
+                f"SAMPLE_SHARD={ss} must divide the device count {n}")
+        return make_mesh_2d(n // ss, ss)
     return make_mesh(n)
