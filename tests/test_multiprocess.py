@@ -66,10 +66,18 @@ def _first_step_params(out_dir: str) -> dict:
     return params
 
 
-def _wait(proc: subprocess.Popen, name: str, timeout: int = 900) -> str:
-    out, _ = proc.communicate(timeout=timeout)
-    assert proc.returncode == 0, f"{name} failed:\n{out[-4000:]}"
-    return out
+def _wait_all(procs, names, timeout: int = 900):
+    """Drain every child's pipe CONCURRENTLY — sequential communicate can
+    deadlock against a child blocked writing to a full pipe while the
+    drained child waits on it inside a collective."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(procs)) as pool:
+        outs = list(pool.map(lambda p: p.communicate(timeout=timeout)[0],
+                             procs))
+    for p, name, out in zip(procs, names, outs):
+        assert p.returncode == 0, f"{name} failed:\n{out[-4000:]}"
+    return outs
 
 
 def _load(out_dir: str, pid: int) -> dict:
@@ -91,8 +99,7 @@ def test_two_process_train_matches_single_process(sync_scene_dir, tmp_path):
     out0, out1 = str(tmp_path / "proc0"), str(tmp_path / "proc1")
     p1 = _spawn(sync_scene_dir, out1, 1, 2, port, local_devices=4)
     p0 = _spawn(sync_scene_dir, out0, 0, 2, port, local_devices=4)
-    _wait(p0, "proc0")
-    _wait(p1, "proc1")
+    _wait_all([p0, p1], ["proc0", "proc1"])
 
     r0, r1 = _load(out0, 0), _load(out1, 1)
     assert r0["process_count"] == r1["process_count"] == 2
@@ -105,7 +112,7 @@ def test_two_process_train_matches_single_process(sync_scene_dir, tmp_path):
     # single-process, same 8-device global mesh, same config/seed
     outs = str(tmp_path / "single")
     ps = _spawn(sync_scene_dir, outs, 0, 1, _free_port(), local_devices=8)
-    _wait(ps, "single")
+    _wait_all([ps], ["single"])
     rs = _load(outs, 0)
     assert rs["global_devices"] == 8
 

@@ -116,6 +116,45 @@ def test_proposal_eval_and_ckpt_roundtrip(setup, tmp_path):
                                rtol=1e-6)
 
 
+def test_proposal_rejects_degenerate_combos(setup):
+    """N_FINE=0 would silently train only the proposal net; COMPAT_SORT
+    cannot be honored by the standalone fine composite — both must raise."""
+    table, k_inv = setup
+    state = trainlib.init_state(_cfg())
+    rows = jnp.asarray([1.0]); cols = jnp.asarray([1.0])
+    pose = jnp.asarray(np.asarray(table.poses)[:1])
+    with pytest.raises(ValueError, match="N_FINE=0"):
+        render.render_rays(state.params["net"], rows, cols, pose, k_inv,
+                           4, 0, prop_params=state.params["prop"])
+    with pytest.raises(ValueError, match="COMPAT_SORT"):
+        render.render_rays(state.params["net"], rows, cols, pose, k_inv,
+                           4, 4, prop_params=state.params["prop"],
+                           compat_sort=True)
+
+
+def test_bf16_fields_encode_at_f32():
+    """The bf16 compute paths must positional-encode at f32: quantizing the
+    raw coordinates to bf16 turns the top PE bands into phase noise."""
+    import jax.numpy as jnp2
+    cfg = Config(precision="bf16", use_pallas=False, proposal=True)
+    field = trainlib.make_field_fn(cfg)
+    prop_field = trainlib.make_prop_field_fn(cfg)
+    from tinynerf.core import mlp
+    net = mlp.init_network(jax.random.PRNGKey(0))
+    prop = proposal.init_proposal(jax.random.PRNGKey(1))
+    pts = jnp2.asarray([[1.37291, -0.84133, 0.42977]])
+    dirs = jnp2.asarray([[0.0, 0.0, 1.0]])
+    # f32 reference
+    c32, s32 = render.field_jnp(net, pts, dirs)
+    cb, sb = field(net, pts, dirs)
+    # bf16 NETWORK error is ~1e-2 relative; bf16 COORDINATES before the
+    # encoding would decorrelate outputs entirely (phase error >> 2*pi)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(c32), atol=0.05)
+    cp32, sp32 = proposal.field_proposal(prop, pts, dirs)
+    cpb, spb = prop_field(prop, pts, dirs)
+    np.testing.assert_allclose(np.asarray(cpb), np.asarray(cp32), atol=0.05)
+
+
 def test_proposal_composes_with_occ_grid(setup):
     """PROPOSAL + OCC_GRID: the grid (built from the MAIN field) tightens
     bounds for both passes; the step must run and stay finite."""

@@ -232,6 +232,19 @@ def render_rays(params: mlp.Params,
       samples do not enter the final image, so the proposal's capacity
       bounds sample PLACEMENT, never rendered quality.
     """
+    if prop_params is not None:
+        if n_fine == 0:
+            raise ValueError(
+                "PROPOSAL with N_FINE=0 would train/render ONLY the narrow "
+                "proposal net (the main network never evaluates) — use "
+                "PROPOSAL=False for coarse-only runs.")
+        if compat_sort:
+            raise ValueError(
+                "PROPOSAL is incompatible with COMPAT_SORT: the proposal "
+                "mode composites the fine pass standalone, so the "
+                "reference's Q4 per-channel sort defect cannot be "
+                "reproduced under it. Use PROPOSAL=False for parity "
+                "experiments.")
     origins, dirs, near, far = raylib.pixels_to_rays(rows, cols, pose17, k_inv)
     if occ_grid is not None and ndc_params is None:
         # empty-space skipping: concentrate the (static) sample budget on the

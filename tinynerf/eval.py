@@ -97,7 +97,8 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
         if (cfg.sample_shard > 1 and batch_sharding is not None
                 and "sample" in dict(batch_sharding.mesh.shape)
                 and occ_grid is None and not extras and not cfg.compat_sort
-                and not cfg.proposal and cfg.n_fine > 0):
+                and not cfg.proposal and cfg.n_fine > 0
+                and ndc_params is None):
             from tinynerf.parallel.sample_shard import (
                 make_sample_sharded_render)
             sh_render = make_sample_sharded_render(

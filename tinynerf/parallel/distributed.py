@@ -124,6 +124,12 @@ def to_host(x):
     if getattr(x, "is_fully_addressable", True) or getattr(
             x, "is_fully_replicated", False):
         return np.asarray(x)
-    shards = sorted((s for s in x.addressable_shards),
-                    key=lambda s: s.index[0].start or 0)
+    # one shard per distinct index: on a 2-D (data x sample) mesh each data
+    # block is replicated across the sample axis, and concatenating every
+    # addressable shard would duplicate it
+    by_index = {}
+    for s in x.addressable_shards:
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        by_index.setdefault(key, s)
+    shards = sorted(by_index.values(), key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -50,8 +50,9 @@ def sharded_get_density(delta: jnp.ndarray, sigma: jnp.ndarray,
     Matches ``tinynerf.core.render.get_density`` on the concatenation
     (inclusive-cumsum transmittance, reference semantics Q5).
     """
+    from tinynerf.core.sampling import matmul_cumsum
     sigma_delta = delta * sigma
-    local_cumsum = jnp.cumsum(sigma_delta, axis=1)           # within-chunk
+    local_cumsum = matmul_cumsum(sigma_delta)                # within-chunk
     local_total = local_cumsum[:, -1]                         # (B,)
     carry = _exclusive_device_prefix_sum(local_total, axis_name)  # (B,)
     transmittance = jnp.exp(-(carry[:, None] + local_cumsum))
@@ -134,9 +135,12 @@ def sharded_merged_fine(t_co, t_fi_local, sigma_co, sigma_fi_local,
     sd_fi = sigma_fi_local * delta_fi
 
     # prefix masses: coarse own-prefix is replicated math; fine own-prefix
-    # needs the cross-shard carry (this module's prefix scan)
-    own_co = jnp.cumsum(sd_co, axis=1)
-    local_cumsum_fi = jnp.cumsum(sd_fi, axis=1)
+    # needs the cross-shard carry (this module's prefix scan). matmul_cumsum
+    # per the repo invariant — XLA lowers jnp.cumsum as a sequential shift
+    # chain on TPU, the triangular matmul rides the MXU.
+    from tinynerf.core.sampling import matmul_cumsum
+    own_co = matmul_cumsum(sd_co)
+    local_cumsum_fi = matmul_cumsum(sd_fi)
     carry = _exclusive_device_prefix_sum(local_cumsum_fi[:, -1], axis_name)
     own_fi = carry[:, None] + local_cumsum_fi
 

@@ -86,10 +86,15 @@ def make_field_fn(cfg: Config, force_pallas: bool = False) -> render.FieldFn:
                                                 compute_dtype=dtype)
         return fn
     if cfg.precision == "bf16":
+        from tinynerf.core import encoding, mlp
+
         def bf16_field(params, points, dirs):
-            color, sigma = render.field_jnp(
-                params, points.astype(jnp.bfloat16),
-                dirs.astype(jnp.bfloat16))
+            # encode at f32, cast the ENCODING to bf16: sin(2^10*pi*x) with
+            # x quantized to bf16 is phase noise in the top PE bands (the
+            # Pallas kernels encode at f32 internally for the same reason)
+            pe = encoding.encode_points(points).astype(jnp.bfloat16)
+            de = encoding.encode_dirs(dirs).astype(jnp.bfloat16)
+            color, sigma = mlp.apply_network(params, pe, de)
             return color.astype(jnp.float32), sigma.astype(jnp.float32)
         return bf16_field
     return render.field_jnp
@@ -118,12 +123,15 @@ def make_prop_field_fn(cfg: Config,
         fn.eval_rays = functools.partial(prop_field_pallas_rays,
                                          compute_dtype=dtype)
         return fn
-    from tinynerf.core.proposal import field_proposal
+    from tinynerf.core.proposal import apply_proposal, field_proposal
     if cfg.precision == "bf16":
+        from tinynerf.core import encoding
+
         def bf16_prop(params, points, dirs):
-            color, sigma = field_proposal(
-                params, points.astype(jnp.bfloat16),
-                dirs.astype(jnp.bfloat16))
+            # f32 encoding, bf16 network — see bf16_field above
+            pe = encoding.encode_points(points).astype(jnp.bfloat16)
+            de = encoding.encode_dirs(dirs).astype(jnp.bfloat16)
+            color, sigma = apply_proposal(params, pe, de)
             return color.astype(jnp.float32), sigma.astype(jnp.float32)
         return bf16_prop
     return field_proposal
