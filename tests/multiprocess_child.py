@@ -80,6 +80,10 @@ def main() -> None:
     runner.logger.log = capture
     runner.train("train")
     psnr = runner.display(max_views=1)
+    # BASELINE stretch config 5 across REAL process boundaries: res-scaled
+    # camera-path video render sharded over the global mesh (frames leave
+    # the jit replicated; only process 0 writes the video)
+    runner.render_path_video(n_views=2, res_scale=2.0)
 
     leaves = jax.tree_util.tree_leaves(jax.device_get(runner.state.params))
     digest = hashlib.sha256(

@@ -143,4 +143,8 @@ def test_two_process_train_matches_single_process(sync_scene_dir, tmp_path):
     assert any(f.endswith((".jpg",)) for f in files0)
     assert any(f.endswith((".mp4", ".gif")) for f in files0)
     assert any(f.endswith("metrics.jsonl") for f in files0)
+    # the res_scale=2 sharded path video (BASELINE stretch config 5,
+    # rendered over the cross-process mesh) also lands on process 0 only
+    assert any("_path_" in f and f.endswith((".mp4", ".gif"))
+               for f in files0)
     assert _artifact_files(out1) == []
