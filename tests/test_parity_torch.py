@@ -336,3 +336,45 @@ def test_training_dynamics_parity(ref_model):
     wf_t, wf_j = hist[160:, 0].mean(), hist[160:, 1].mean()
     # both implementations learned, by a comparable amount
     assert wf_t < 0.7 * w0_t and wf_j < 0.7 * w0_j
+
+
+def test_full_frame_per_pixel_parity(ref_model, params):
+    """PER-PIXEL frame parity: every pixel of a complete frame rendered by
+    the production frame renderer (make_frame_fn, compat_sort) matches the
+    reference model evaluated at the same pixels — the frame-granularity
+    form of the north star's 'per-pixel fp-tolerance match' (BASELINE.json),
+    on identical weights (real lego/fern data is absent from this image)."""
+    from tinynerf import eval as evallib
+    from tinynerf.config import Config
+
+    hw = int(H)
+    rr, cc = np.meshgrid(np.arange(hw, dtype=np.float32),
+                         np.arange(hw, dtype=np.float32), indexing="ij")
+    rows, cols = rr.reshape(-1), cc.reshape(-1)
+    pose_row = _pose17_batch()[2][0]
+    pose = np.tile(pose_row, (rows.shape[0], 1)).astype(np.float32)
+
+    refnerf.device = torch.device("cpu")
+    # the reference hard-codes batch_ray into its ray-gen shapes
+    # (nerf.py:186): rebuild it at the frame's pixel count, same weights
+    frame_model = refnerf.NeRFModel(num_coarse=NC, num_fine=NF,
+                                    batch_ray=rows.shape[0])
+    frame_model.load_state_dict(ref_model.state_dict())
+    frame_model.eval()
+    with torch.no_grad():
+        _, c_fi_ref = frame_model(
+            torch.tensor(rows), torch.tensor(cols), torch.tensor(pose),
+            _k_inv_torch())
+    ref_frame = c_fi_ref.numpy().reshape(hw, hw, 3)
+
+    cfg = Config(n_coarse=NC, n_fine=NF, use_pallas=False, compat_sort=True,
+                 render_chunk=32)  # chunked lax.map path, like production
+    frame_fn = evallib.make_frame_fn(cfg, make_k_inv(H, W, F), hw, hw)
+    ours = np.asarray(frame_fn(params, jnp.asarray(pose_row)))
+
+    assert ours.shape == ref_frame.shape
+    np.testing.assert_allclose(ours, ref_frame, atol=6e-4)
+    # and the max deviation is small in PSNR terms: > 60 dB against the
+    # reference's own render
+    mse = float(np.mean((ours - ref_frame) ** 2))
+    assert -10.0 * np.log10(mse + 1e-20) > 60.0
