@@ -90,9 +90,10 @@ def test_u8_ray_table(sync_scene_dir):
     np.testing.assert_allclose(t8.image(0), t32.image(0), atol=0.5 / 255 + 1e-6)
 
 
-def test_host_fed_train_step(sync_scene_dir):
+@pytest.mark.parametrize("proposal", [False, True])
+def test_host_fed_train_step(sync_scene_dir, proposal):
     cfg = Config(batch_ray=32, n_coarse=8, n_fine=8, use_pallas=False,
-                 host_feed=True)
+                 host_feed=True, proposal=proposal)
     scene = load_scene(sync_scene_dir, "sync", "train")
     table = RayTable(scene, device_pixels=False)
     k_inv = make_k_inv(table.height, table.width, table.focal)
