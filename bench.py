@@ -71,6 +71,9 @@ def main() -> None:
     parser.add_argument("--no-proposal", dest="proposal", action="store_false",
                         help="reference-architecture config (shared single "
                              "net for coarse+fine, the Config default)")
+    parser.add_argument("--prop-enc-l", type=int, default=10,
+                        help="PROPOSAL_ENC_L: point-PE bands for the "
+                             "proposal field (10 = full Q3 bank)")
     parser.add_argument("--occ", action="store_true",
                         help="measure with the occupancy grid enabled "
                              "(empty-space skipping; trades ~9%% rays/s for "
@@ -100,7 +103,7 @@ def main() -> None:
                  use_pallas=not args.no_pallas,
                  fused_render=args.fused, seed=seed,
                  occ_grid=args.occ, white_bkgd=args.occ,
-                 proposal=args.proposal)
+                 proposal=args.proposal, proposal_enc_l=args.prop_enc_l)
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)

@@ -155,6 +155,33 @@ def test_bf16_fields_encode_at_f32():
     np.testing.assert_allclose(np.asarray(cpb), np.asarray(cp32), atol=0.05)
 
 
+def test_proposal_narrow_encoding(setup):
+    """PROPOSAL_ENC_L < 10: the proposal field runs on a truncated PE bank
+    (placement-only job); params size follows, training runs and learns,
+    and the default enc_l=10 path is unchanged."""
+    p6 = proposal.init_proposal(jax.random.PRNGKey(0), enc_l=6)
+    assert p6["trunk_0"]["w"].shape[0] == 3 * 2 * 6
+    # default factory == field_proposal bit-for-bit
+    pts = jnp.asarray([[0.3, -0.7, 1.1]]); dirs = jnp.asarray([[0., 0., 1.]])
+    p10 = proposal.init_proposal(jax.random.PRNGKey(0))
+    c_a, s_a = proposal.field_proposal(p10, pts, dirs)
+    c_b, s_b = proposal.make_field_proposal()(p10, pts, dirs)
+    np.testing.assert_array_equal(np.asarray(c_a), np.asarray(c_b))
+    np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
+
+    table, k_inv = setup
+    cfg = _cfg(proposal_enc_l=6)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    assert state.params["prop"]["trunk_0"]["w"].shape[0] == 36
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first
+
+
 def test_proposal_composes_with_occ_grid(setup):
     """PROPOSAL + OCC_GRID: the grid (built from the MAIN field) tightens
     bounds for both passes; the step must run and stay finite."""

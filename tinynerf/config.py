@@ -75,6 +75,10 @@ class Config:
                                       # off = reference-shared single net)
     proposal_width: int = 128         # proposal trunk width (128 = 1 MXU tile)
     proposal_depth: int = 4           # proposal trunk depth
+    proposal_enc_l: int = 10          # point-PE bands for the proposal field
+                                      # (10 = the full Q3 bank; fewer bands
+                                      # cut its dominant fixed transcendental
+                                      # cost — placement needs less detail)
     prop_pallas: bool = False         # dedicated proposal Pallas kernel —
                                       # measured SLOWER than XLA on the
                                       # narrow net (see train.py); opt-in
@@ -99,7 +103,7 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
              "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY",
              "OCC_MARCH_STEPS", "PROPOSAL_WIDTH", "PROPOSAL_DEPTH",
-             "SAMPLE_SHARD"}
+             "PROPOSAL_ENC_L", "SAMPLE_SHARD"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
@@ -124,7 +128,8 @@ _KEY_TO_FIELD = {
     "OCC_THRESH": "occ_thresh", "OCC_UPDATE_EVERY": "occ_update_every",
     "OCC_SUBSET": "occ_subset", "OCC_MARCH_STEPS": "occ_march_steps",
     "PROPOSAL": "proposal", "PROPOSAL_WIDTH": "proposal_width",
-    "PROPOSAL_DEPTH": "proposal_depth", "PROP_PALLAS": "prop_pallas",
+    "PROPOSAL_DEPTH": "proposal_depth", "PROPOSAL_ENC_L": "proposal_enc_l",
+    "PROP_PALLAS": "prop_pallas",
     "SAMPLE_SHARD": "sample_shard",
 }
 

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from tinynerf.core import encoding
-from tinynerf.core.encoding import DIR_ENC_DIM, POINT_ENC_DIM
+from tinynerf.core.encoding import DIR_ENC_DIM, L_POINT, POINT_ENC_DIM
 from tinynerf.core.mlp import _linear, _linear_init
 
 WIDTH = 128
@@ -55,8 +55,8 @@ def layer_dims(width: int = WIDTH, depth: int = DEPTH,
 
 
 def init_proposal(key: jax.Array, width: int = WIDTH, depth: int = DEPTH,
-                  ) -> Params:
-    dims = layer_dims(width, depth)
+                  enc_l: int = L_POINT) -> Params:
+    dims = layer_dims(width, depth, point_dim=3 * 2 * enc_l)
     keys = jax.random.split(key, len(dims))
     return {name: _linear_init(k, fi, fo)
             for k, (name, fi, fo) in zip(keys, dims)}
@@ -81,3 +81,32 @@ def field_proposal(params: Params, points: jnp.ndarray, dirs: jnp.ndarray,
     """Drop-in FieldFn (same signature as ``render.field_jnp``)."""
     return apply_proposal(params, encoding.encode_points(points),
                           encoding.encode_dirs(dirs))
+
+
+def make_field_proposal(enc_l: int = L_POINT, compute_dtype=None):
+    """FieldFn factory with a configurable point-encoding bank width.
+
+    ``PROPOSAL_ENC_L < 10`` drops the top PE frequency bands from the
+    proposal field only: its job is sample PLACEMENT (the rendered image
+    integrates just the fine samples), so it does not need the full
+    fractional Q3 bank — and the narrow net's per-row cost is dominated by
+    the fixed PE transcendentals (see kernels/proposal_kernel.py STATUS),
+    so fewer bands cut exactly the term that bounds it. The dir encoding
+    stays at L=4 (24 dims). ``compute_dtype=jnp.bfloat16`` casts the
+    ENCODINGS (f32-computed, like train.make_field_fn's bf16 path)."""
+    freqs = encoding.freq_bank(enc_l)
+
+    def field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray,
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        pe = encoding.positional_encode(points, freqs)
+        de = encoding.encode_dirs(dirs)
+        if compute_dtype is not None:
+            pe = pe.astype(compute_dtype)
+            de = de.astype(compute_dtype)
+        color, sigma = apply_proposal(params, pe, de)
+        if compute_dtype is not None:
+            color = color.astype(jnp.float32)
+            sigma = sigma.astype(jnp.float32)
+        return color, sigma
+
+    return field

@@ -52,7 +52,8 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
             pkey2 = jax.random.fold_in(pkey, 1)
             params = {"net": params,
                       "prop": init_proposal(pkey2, cfg.proposal_width,
-                                            cfg.proposal_depth)}
+                                            cfg.proposal_depth,
+                                            enc_l=cfg.proposal_enc_l)}
     if opt_state is None:
         opt_state = optim.adam_init(params)
     occ = None
@@ -113,8 +114,13 @@ def make_prop_field_fn(cfg: Config,
     kept working + tested, same status as FUSED_RENDER."""
     if not cfg.proposal:
         return None
+    from tinynerf.core.encoding import L_POINT
     if (cfg.use_pallas and cfg.prop_pallas
+            and cfg.proposal_enc_l == L_POINT
             and (force_pallas or jax.default_backend() == "tpu")):
+        # the kernel's encoding-permutation machinery is specialized to the
+        # full L=10 bank; narrower PROPOSAL_ENC_L uses the jnp path (which
+        # is the measured-faster default anyway)
         import functools
         from tinynerf.kernels.proposal_kernel import (prop_field_pallas,
                                                       prop_field_pallas_rays)
@@ -123,18 +129,10 @@ def make_prop_field_fn(cfg: Config,
         fn.eval_rays = functools.partial(prop_field_pallas_rays,
                                          compute_dtype=dtype)
         return fn
-    from tinynerf.core.proposal import apply_proposal, field_proposal
-    if cfg.precision == "bf16":
-        from tinynerf.core import encoding
-
-        def bf16_prop(params, points, dirs):
-            # f32 encoding, bf16 network — see bf16_field above
-            pe = encoding.encode_points(points).astype(jnp.bfloat16)
-            de = encoding.encode_dirs(dirs).astype(jnp.bfloat16)
-            color, sigma = apply_proposal(params, pe, de)
-            return color.astype(jnp.float32), sigma.astype(jnp.float32)
-        return bf16_prop
-    return field_proposal
+    from tinynerf.core.proposal import make_field_proposal
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else None
+    # f32 encoding, bf16 network — see bf16_field above
+    return make_field_proposal(cfg.proposal_enc_l, compute_dtype=dtype)
 
 
 def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
