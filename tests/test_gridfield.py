@@ -1,0 +1,228 @@
+"""Factorized CP feature-grid field (FINE_FIELD=grid, core/gridfield.py):
+hat-basis matmul lookup, gather equivalence, LR-scaled training, TV reg."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tinynerf import ckpt, eval as evallib, optim, train as trainlib
+from tinynerf.config import Config
+from tinynerf.core import gridfield
+from tinynerf.core.rays import make_k_inv
+from tinynerf.data.poses import load_scene
+from tinynerf.data.rays import RayTable
+
+
+def _cfg(**kw):
+    base = dict(batch_ray=32, n_coarse=8, n_fine=8, use_pallas=False,
+                proposal=True, learning=2e-3, render_chunk=64,
+                fine_field="grid", grid_res=32, grid_comp_density=8,
+                grid_comp_app=8, grid_decoder_width=16, grid_extent=6.0)
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def setup(request):
+    table = RayTable(load_scene(
+        request.getfixturevalue("sync_scene_dir"), "sync", "train"))
+    return table, make_k_inv(table.height, table.width, table.focal)
+
+
+def test_param_count_and_shapes():
+    p = gridfield.init_grid_field(jax.random.PRNGKey(0))
+    # 3*256*80 lines + (72*16+16... default decoder) + extent
+    assert gridfield.num_params(p) == 3 * 256 * 80 + (72 * 64 + 64) \
+        + (64 * 3 + 3) + 1
+    color, sigma = gridfield.apply_grid_field(
+        p, jnp.zeros((4, 5, 3)), jnp.ones((4, 5, 3)))
+    assert isinstance(color, tuple) and len(color) == 3
+    assert color[0].shape == (4, 5) and sigma.shape == (4, 5, 1)
+    assert float(jnp.min(sigma)) >= 0.0  # abs activation (Q14 family)
+
+
+def test_onehot_matches_gather():
+    """The hat-basis matmul IS the canonical 2-neighbour lerp."""
+    p = gridfield.init_grid_field(jax.random.PRNGKey(1), res=16,
+                                  n_density=4, n_app=4, decoder_width=8,
+                                  extent=2.0)
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), jnp.float32,
+                             -3.0, 3.0)  # includes out-of-extent points
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (64, 1))
+    c_m, s_m = gridfield.apply_grid_field(p, pts, dirs, n_density=4,
+                                          lookup="onehot")
+    c_g, s_g = gridfield.apply_grid_field(p, pts, dirs, n_density=4,
+                                          lookup="gather")
+    np.testing.assert_allclose(np.asarray(s_m), np.asarray(s_g),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(c_m, c_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_lookup_is_linear_interp():
+    """Feature at a point halfway between two cell centers equals the mean
+    of the cell-center features (per axis)."""
+    res, ext = 8, 1.0
+    p = gridfield.init_grid_field(jax.random.PRNGKey(3), res=res,
+                                  n_density=2, n_app=2, decoder_width=8,
+                                  extent=ext)
+    # x positions of cell centers i and i+1, and their midpoint
+    def world(i):
+        return (i / (res - 1)) * 2.0 * ext - ext
+    pts = jnp.asarray([[world(2), 0.0, 0.0],
+                       [world(3), 0.0, 0.0],
+                       [(world(2) + world(3)) / 2.0, 0.0, 0.0]])
+    fx, _fy, _fz = gridfield._line_features(
+        p["lines"], pts, p["extent"], "onehot", jnp.float32)
+    np.testing.assert_allclose(np.asarray(fx[2]),
+                               np.asarray((fx[0] + fx[1]) / 2.0),
+                               rtol=1e-5, atol=1e-6)
+    # out-of-extent points clamp to the boundary value
+    edge = gridfield._line_features(
+        p["lines"], jnp.asarray([[ext, 0., 0.], [ext + 5., 0., 0.]]),
+        p["extent"], "onehot", jnp.float32)[0]
+    np.testing.assert_allclose(np.asarray(edge[0]), np.asarray(edge[1]),
+                               rtol=1e-6)
+
+
+def test_lr_scale_tree():
+    cfg = _cfg()
+    state = trainlib.init_state(cfg)
+    scale = trainlib.make_lr_scale(cfg, state.params)
+    assert all(scale["net"]["lines"][ax] == cfg.grid_lr_mult
+               for ax in ("x", "y", "z"))
+    assert scale["net"]["decoder"]["hidden"]["w"] == 1.0
+    for leaf in jax.tree_util.tree_leaves(scale["prop"]):
+        assert leaf == 1.0
+    # non-grid configs keep torch-exact single-LR Adam
+    assert trainlib.make_lr_scale(Config(), state.params) is None
+
+
+def test_adam_lr_scale_none_unchanged():
+    """lr_scale=None must be bit-identical to the pre-change adam_update."""
+    params = {"a": jnp.asarray([1.0, 2.0]), "b": jnp.asarray([3.0])}
+    grads = {"a": jnp.asarray([0.1, -0.2]), "b": jnp.asarray([0.3])}
+    st = optim.adam_init(params)
+    p_none, _ = optim.adam_update(grads, st, params, 1e-2)
+    ones = jax.tree_util.tree_map(lambda _: 1.0, params)
+    p_ones, _ = optim.adam_update(grads, st, params, 1e-2, lr_scale=ones)
+    for a, b in zip(jax.tree_util.tree_leaves(p_none),
+                    jax.tree_util.tree_leaves(p_ones)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grid_train_step_learns(setup):
+    table, k_inv = setup
+    cfg = _cfg()
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    lines_before = np.asarray(state.params["net"]["lines"]["x"])
+    extent_before = float(state.params["net"]["extent"])
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first
+    assert not np.allclose(np.asarray(state.params["net"]["lines"]["x"]),
+                           lines_before)  # the grid actually trains
+    assert float(state.params["net"]["extent"]) == extent_before  # frozen
+
+
+def test_grid_shared_field_mode(setup):
+    """FINE_FIELD=grid without PROPOSAL: the grid is the shared coarse+fine
+    net under full reference pipeline semantics (Q8 leak, merged composite)
+    — positions carry gradients through the hat basis and it still trains."""
+    table, k_inv = setup
+    cfg = _cfg(proposal=False)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first
+
+
+def test_grid_tv_regularizer(setup):
+    p = gridfield.init_grid_field(jax.random.PRNGKey(0), res=16,
+                                  n_density=4, n_app=4)
+    tv = float(gridfield.tv_loss(p))
+    assert np.isfinite(tv) and tv > 0.0
+    smooth = jax.tree_util.tree_map(jnp.zeros_like, p)
+    assert float(gridfield.tv_loss(smooth)) == 0.0
+    # TV term reaches the loss and its gradient touches only the lines
+    table, k_inv = setup
+    cfg = _cfg(grid_tv=1e3)
+    cfg0 = _cfg(grid_tv=0.0)
+    state = trainlib.init_state(cfg)
+    batch = table.sample(jax.random.PRNGKey(3), cfg.batch_ray)
+    l1 = float(trainlib.make_loss_fn(cfg, k_inv)(
+        state.params, batch, None, None)[0])
+    l0 = float(trainlib.make_loss_fn(cfg0, k_inv)(
+        state.params, batch, None, None)[0])
+    expected = 1e3 * float(gridfield.tv_loss(state.params["net"]))
+    np.testing.assert_allclose(l1 - l0, expected, rtol=1e-4)
+
+
+def test_grid_eval_ckpt_and_occ(setup, tmp_path):
+    """Frame render + checkpoint roundtrip + occ-grid refresh all work off
+    the grid param tree (the occ sweep probes the grid field directly)."""
+    table, k_inv = setup
+    cfg = _cfg(occ_grid=True, occ_res=8, occ_extent=6.0, occ_update_every=1,
+               white_bkgd=True)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    for _ in range(2):
+        state, m = step(state)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(np.asarray(state.occ.raw)).any()
+
+    frame_fn = evallib.make_frame_fn(cfg, k_inv, table.height, table.width)
+    img = np.asarray(frame_fn(state.params,
+                              jnp.asarray(np.asarray(table.poses)[0])))
+    assert img.shape == (table.height, table.width, 3)
+    assert np.isfinite(img).all()
+
+    path = ckpt.save_checkpoint(str(tmp_path), "t", 0,
+                                jax.device_get(state.params),
+                                jax.device_get(state.opt))
+    _it, params2, _opt2, _k, _o = ckpt.load_checkpoint_full(path)
+    for a, b in zip(jax.tree_util.tree_leaves(params2),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grid_sharded_step_on_mesh(setup):
+    table, k_inv = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 fake devices")
+    from tinynerf.parallel import mesh as meshlib
+    cfg = _cfg()
+    mesh = meshlib.make_mesh(8)
+    step = trainlib.make_train_step(
+        cfg, table, k_inv, batch_sharding=meshlib.batch_sharding(mesh))
+    state = meshlib.replicate_state(trainlib.init_state(cfg), mesh)
+    state, m = step(state)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_grid_bf16_path():
+    cfg = _cfg(precision="bf16")
+    field = trainlib.make_field_fn(cfg)
+    p = gridfield.init_grid_field(jax.random.PRNGKey(0), res=32,
+                                  n_density=cfg.grid_comp_density,
+                                  n_app=cfg.grid_comp_app,
+                                  decoder_width=cfg.grid_decoder_width,
+                                  extent=cfg.grid_extent)
+    pts = jnp.asarray([[1.37291, -0.84133, 0.42977]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]])
+    c16, s16 = field(p, pts, dirs)
+    c32, s32 = gridfield.apply_grid_field(p, pts, dirs,
+                                          n_density=cfg.grid_comp_density)
+    assert s16.dtype == jnp.float32  # outputs cast back for the composite
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=0.05,
+                               rtol=0.1)

@@ -93,6 +93,21 @@ class Config:
                                       # None = derived at Runner setup from
                                       # the scene's ray span so probes cannot
                                       # out-stride the 3-cell dilation margin
+    fine_field: str = "mlp"           # "mlp" (reference net) | "grid"
+                                      # (factorized CP feature grid,
+                                      # core/gridfield.py — second model
+                                      # family, ~7.7x fewer MACs/sample)
+    grid_res: int = 256               # line-table resolution per axis
+    grid_comp_density: int = 32       # CP components for density
+    grid_comp_app: int = 48           # CP components for appearance
+    grid_decoder_width: int = 64      # color-decoder hidden width
+    grid_extent: float = 1.5          # grid half-extent (world units)
+    grid_lr_mult: float = 40.0        # LR multiplier on the line tables
+                                      # (factorized grids want 10-40x the
+                                      # MLP rate; decoder stays at 1x)
+    grid_tv: float = 0.0              # total-variation weight on the lines
+    grid_lookup: str = "onehot"       # "onehot" (hat-basis matmul, MXU)
+                                      # | "gather" (measurement-only)
 
     @property
     def total_samples(self) -> int:
@@ -103,9 +118,10 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
              "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY",
              "OCC_MARCH_STEPS", "PROPOSAL_WIDTH", "PROPOSAL_DEPTH",
-             "PROPOSAL_ENC_L", "SAMPLE_SHARD"}
+             "PROPOSAL_ENC_L", "SAMPLE_SHARD", "GRID_RES",
+             "GRID_COMP_DENSITY", "GRID_COMP_APP", "GRID_DECODER_WIDTH"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
-               "OCC_SUBSET"}
+               "OCC_SUBSET", "GRID_EXTENT", "GRID_LR_MULT", "GRID_TV"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
               "PROPOSAL", "PROP_PALLAS"}
@@ -131,6 +147,11 @@ _KEY_TO_FIELD = {
     "PROPOSAL_DEPTH": "proposal_depth", "PROPOSAL_ENC_L": "proposal_enc_l",
     "PROP_PALLAS": "prop_pallas",
     "SAMPLE_SHARD": "sample_shard",
+    "FINE_FIELD": "fine_field", "GRID_RES": "grid_res",
+    "GRID_COMP_DENSITY": "grid_comp_density", "GRID_COMP_APP": "grid_comp_app",
+    "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
+    "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
+    "GRID_LOOKUP": "grid_lookup",
 }
 
 

@@ -1,0 +1,185 @@
+"""Factorized feature-grid radiance field (CP decomposition), TPU-native.
+
+Opt-in fine-pass field (``FINE_FIELD = grid``): replaces the 593,924-param
+reference MLP (``nerf.py:76-124``) with a TensoRF-CP-style factorized
+volume — per-axis 1-D feature lines whose per-component products give
+density and appearance features, plus a small view-dependent decoder. The
+reference has nothing like this; it is the framework's second model family
+and the FLOP-reduction lever CLAUDE.md names: at the defaults the fine
+field costs ~66k MACs/sample vs the big MLP's ~508k (≈7.7x fewer), with
+quality carried by the grid's spatial capacity instead of network depth.
+
+TPU-first design decisions:
+
+- **No gathers in the hot path.** A grid lookup is canonically a gather of
+  2 neighbours per axis; its backward is a scatter-add — both TPU-hostile
+  (CLAUDE.md invariant). Here the 1-D linear interpolation is expressed as
+  a *hat-basis matmul*: ``U[b, i] = relu(1 - |x_b * (R-1) - i|)`` has
+  exactly the two interpolation weights as nonzeros, so ``U @ lines`` IS
+  the lerp, runs on the MXU, and its VJP (``U^T @ dF``) is another matmul
+  — the scatter-add a gather would need never exists. The U construction
+  is a broadcasted-iota compare, which XLA fuses into the dot's operand.
+- **One matmul per axis.** Density and appearance lines concatenate into
+  a single (R, Fd+Fa) table per axis so each sample costs exactly three
+  (B, R) @ (R, F) matmuls; features split after.
+- **CP products are elementwise** (VPU, fused by XLA into the surrounding
+  ops); there is no 3-D table anywhere, so HBM holds O(3·R·F) parameters
+  (~100 KB) instead of O(R^3).
+- A ``lookup="gather"`` variant exists purely to measure the gather
+  formulation against this design on real hardware.
+
+Interpolation uses f32 coordinates regardless of compute dtype (bf16's
+8-bit mantissa cannot represent ``x*(R-1)`` to sub-cell precision; same
+reason the PE banks encode at f32 — see train.make_field_fn).
+
+Sigma uses the framework's abs activation (Q14 house convention; unlike
+ReLU it has no dead half-space at init). The grid trains with a per-leaf
+LR multiplier (``GRID_LR_MULT``, optim.adam_update lr_scale) because
+factorized tables want ~10-40x the MLP learning rate, and an optional
+total-variation regularizer (``GRID_TV``) smooths the lines.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tinynerf.core import encoding
+from tinynerf.core.encoding import DIR_ENC_DIM
+from tinynerf.core.mlp import _linear, _linear_init
+
+RES = 256             # line resolution R (cells per axis)
+N_COMP_DENSITY = 32   # CP components for density
+N_COMP_APP = 48       # CP components for appearance
+DECODER_WIDTH = 64
+EXTENT = 1.5          # grid half-extent in world units (matches occ default)
+INIT_SCALE = 0.2      # line init stddev (TensoRF-style)
+
+AXES = ("x", "y", "z")
+
+Params = Dict[str, Any]
+
+
+def init_grid_field(key: jax.Array, res: int = RES,
+                    n_density: int = N_COMP_DENSITY, n_app: int = N_COMP_APP,
+                    decoder_width: int = DECODER_WIDTH,
+                    extent: float = EXTENT,
+                    init_scale: float = INIT_SCALE) -> Params:
+    """Parameter pytree: 3 per-axis line tables + the color decoder.
+
+    Each line table is (res, n_density + n_app); density components occupy
+    the leading columns. At the defaults: 3*256*80 = 61,440 line params +
+    ~6.1k decoder params."""
+    n_comp = n_density + n_app
+    kx, ky, kz, k1, k2 = jax.random.split(key, 5)
+    lines = {ax: init_scale * jax.random.normal(k, (res, n_comp), jnp.float32)
+             for ax, k in zip(AXES, (kx, ky, kz))}
+    decoder = {
+        "hidden": _linear_init(k1, DIR_ENC_DIM + n_app, decoder_width),
+        "color": _linear_init(k2, decoder_width, 3),
+    }
+    return {"lines": lines, "decoder": decoder,
+            # static geometry riding the pytree as an array so checkpoints
+            # carry it (res/F are recoverable from the line shapes; extent
+            # is not). stop_gradient'd at use, so its grads — and hence its
+            # Adam updates — are identically zero.
+            "extent": jnp.asarray(extent, jnp.float32),
+    }
+
+
+def num_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def _hat_basis(xg: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
+    """(..., ) grid coords in [0, res-1] -> (..., res) hat-basis weights.
+
+    Row b has nonzeros only at floor(xg_b) and floor(xg_b)+1, holding the
+    two linear-interp weights. Built from a broadcasted iota compare so XLA
+    can fuse it straight into the consuming dot."""
+    idx = jax.lax.broadcasted_iota(jnp.float32, (*xg.shape, res),
+                                   dimension=xg.ndim)
+    return jax.nn.relu(1.0 - jnp.abs(xg[..., None] - idx)).astype(dtype)
+
+
+def _line_features(lines: Dict[str, jnp.ndarray], points: jnp.ndarray,
+                   extent: jnp.ndarray, lookup: str,
+                   compute_dtype) -> Tuple[jnp.ndarray, ...]:
+    """Interpolate each axis's line table at the points' coordinates.
+
+    points (..., 3) -> tuple of 3 arrays (..., F). Coordinates clamp to the
+    grid boundary (points outside [-extent, extent] read the edge value)."""
+    res = lines[AXES[0]].shape[0]
+    # extent is frozen geometry riding the param tree: without the detach,
+    # grad would flow extent->xg->hat basis and force a per-axis
+    # dU = dF @ table^T matmul that exists only to differentiate a constant
+    extent = jax.lax.stop_gradient(extent)
+    # f32 grid coordinates in [0, res-1] (bf16 cannot hold sub-cell offsets)
+    xg = jnp.clip((points.astype(jnp.float32) + extent) / (2.0 * extent),
+                  0.0, 1.0) * (res - 1)
+    feats = []
+    for a, ax in enumerate(AXES):
+        table = lines[ax].astype(compute_dtype)
+        if lookup == "gather":
+            # measurement-only variant: canonical 2-neighbour lerp; its VJP
+            # scatter-adds into the table (the formulation the hat-basis
+            # matmul exists to avoid)
+            i0 = jnp.floor(xg[..., a])
+            frac = (xg[..., a] - i0).astype(compute_dtype)[..., None]
+            i0 = i0.astype(jnp.int32)
+            f0 = jnp.take(table, i0, axis=0)
+            f1 = jnp.take(table, jnp.minimum(i0 + 1, res - 1), axis=0)
+            feats.append(f0 * (1.0 - frac) + f1 * frac)
+        else:
+            u = _hat_basis(xg[..., a], res, compute_dtype)
+            feats.append(jnp.matmul(u, table,
+                                    precision=jax.lax.Precision.HIGHEST))
+    return tuple(feats)
+
+
+def apply_grid_field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray,
+                     n_density: int = N_COMP_DENSITY,
+                     lookup: str = "onehot",
+                     compute_dtype=jnp.float32,
+                     ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """FieldFn body: (..., 3) points/dirs -> (color channels x3, sigma (..., 1)).
+
+    sigma = abs(sum_f fx_f * fy_f * fz_f) over the density components;
+    color = sigmoid(Linear(relu(Linear([dir_enc, app_feat])))) where
+    app_feat is the per-component CP product of the appearance columns."""
+    fx, fy, fz = _line_features(params["lines"], points, params["extent"],
+                                lookup, compute_dtype)
+    prod = fx * fy * fz                                   # (..., Fd+Fa)
+    sigma = jnp.abs(jnp.sum(prod[..., :n_density], axis=-1, keepdims=True))
+    app = prod[..., n_density:]
+    de = encoding.encode_dirs(dirs).astype(compute_dtype)
+    h = jax.nn.relu(_linear(params["decoder"]["hidden"],
+                            jnp.concatenate([de, app], axis=-1)))
+    color = jax.nn.sigmoid(_linear(params["decoder"]["color"], h))
+    color_c = tuple(color[..., c].astype(jnp.float32) for c in range(3))
+    return color_c, sigma.astype(jnp.float32)
+
+
+def make_field_grid(n_density: int = N_COMP_DENSITY, lookup: str = "onehot",
+                    compute_dtype=None):
+    """FieldFn factory (same contract as ``render.field_jnp``)."""
+    dtype = jnp.float32 if compute_dtype is None else compute_dtype
+
+    def field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray):
+        return apply_grid_field(params, points, dirs, n_density=n_density,
+                                lookup=lookup, compute_dtype=dtype)
+
+    return field
+
+
+def tv_loss(params: Params) -> jnp.ndarray:
+    """Total-variation regularizer over the line tables: mean squared
+    difference of adjacent entries, summed over the three axes. O(3*R*F)
+    elementwise — negligible next to the field evaluation."""
+    total = jnp.asarray(0.0, jnp.float32)
+    for ax in AXES:
+        t = params["lines"][ax]
+        total = total + jnp.mean(jnp.square(t[1:] - t[:-1]))
+    return total

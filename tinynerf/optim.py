@@ -39,8 +39,14 @@ def adam_init(params: Any) -> AdamState:
 
 
 def adam_update(grads: Any, state: AdamState, params: Any, lr: jnp.ndarray,
-                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7):
-    """One Adam step (torch semantics). Returns (new_params, new_state)."""
+                b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7,
+                lr_scale: Any = None):
+    """One Adam step (torch semantics). Returns (new_params, new_state).
+
+    ``lr_scale`` (optional) is a pytree of per-leaf scalar multipliers on
+    the learning rate — the factorized-grid field trains its line tables
+    at ``GRID_LR_MULT`` x the base rate (train.make_lr_scale). ``None``
+    keeps the torch-exact single-LR semantics bit-for-bit."""
     count = state.count + 1
     t = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** t
@@ -50,9 +56,15 @@ def adam_update(grads: Any, state: AdamState, params: Any, lr: jnp.ndarray,
                                 state.mu, grads)
     nu = jax.tree_util.tree_map(lambda v, g: b2 * v + (1 - b2) * g * g,
                                 state.nu, grads)
-    new_params = jax.tree_util.tree_map(
-        lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
-        params, mu, nu)
+    if lr_scale is None:
+        new_params = jax.tree_util.tree_map(
+            lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps),
+            params, mu, nu)
+    else:
+        new_params = jax.tree_util.tree_map(
+            lambda p, m, v, s: p - (lr * s) * (m / bc1)
+            / (jnp.sqrt(v / bc2) + eps),
+            params, mu, nu, lr_scale)
     return new_params, AdamState(count=count, mu=mu, nu=nu)
 
 

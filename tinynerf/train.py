@@ -46,7 +46,15 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     pkey, skey = jax.random.split(key)
     if params is None:
-        params = mlp.init_network(pkey)
+        if cfg.fine_field == "grid":
+            from tinynerf.core.gridfield import init_grid_field
+            params = init_grid_field(pkey, res=cfg.grid_res,
+                                     n_density=cfg.grid_comp_density,
+                                     n_app=cfg.grid_comp_app,
+                                     decoder_width=cfg.grid_decoder_width,
+                                     extent=cfg.grid_extent)
+        else:
+            params = mlp.init_network(pkey)
         if cfg.proposal:
             from tinynerf.core.proposal import init_proposal
             pkey2 = jax.random.fold_in(pkey, 1)
@@ -69,6 +77,15 @@ def make_field_fn(cfg: Config, force_pallas: bool = False) -> render.FieldFn:
     """Pick the field evaluator: fused Pallas kernel on TPU, pure jnp
     otherwise, with optional bf16 compute (fp32 params/geometry).
     ``force_pallas`` bypasses the backend check (interpreter-mode tests)."""
+    if cfg.fine_field == "grid":
+        # factorized CP feature grid (core/gridfield.py): pure XLA — the
+        # field is three hat-basis matmuls + an elementwise product + a
+        # 64-wide decoder, exactly the shape XLA fuses well (same reason
+        # the proposal net's default path is jnp, train.make_prop_field_fn)
+        from tinynerf.core.gridfield import make_field_grid
+        dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+        return make_field_grid(n_density=cfg.grid_comp_density,
+                               lookup=cfg.grid_lookup, compute_dtype=dtype)
     if cfg.use_pallas and (force_pallas or jax.default_backend() == "tpu"):
         import functools
         from tinynerf.kernels.mlp_kernel import field_pallas, field_pallas_rays
@@ -135,6 +152,23 @@ def make_prop_field_fn(cfg: Config,
     return make_field_proposal(cfg.proposal_enc_l, compute_dtype=dtype)
 
 
+def make_lr_scale(cfg: Config, params: Any):
+    """Per-leaf LR-multiplier pytree for optim.adam_update, or None.
+
+    Only the grid field uses it: factorized line tables want ~10-40x the
+    decoder/MLP learning rate (TensoRF-style split). Every other leaf —
+    decoder, proposal net — stays at 1x, and non-grid configs return None
+    so the default path keeps single-LR torch-exact semantics."""
+    if cfg.fine_field != "grid" or cfg.grid_lr_mult == 1.0:
+        return None
+
+    def scale(path, _leaf):
+        keys = {getattr(p, "key", None) for p in path}
+        return cfg.grid_lr_mult if "lines" in keys else 1.0
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
 def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
                  field_fn: Optional[render.FieldFn] = None,
                  ndc_params=None) -> Callable:
@@ -155,7 +189,11 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             white_bkgd=cfg.white_bkgd, occ_grid=occ,
             occ_march=cfg.occ_march_steps,
             prop_params=prop_params(cfg, params), prop_field_fn=prop_fn)
-        return render.ray_loss(c_co, c_fi, batch.rgb), (c_co, c_fi)
+        loss = render.ray_loss(c_co, c_fi, batch.rgb)
+        if cfg.fine_field == "grid" and cfg.grid_tv > 0.0:
+            from tinynerf.core.gridfield import tv_loss
+            loss = loss + cfg.grid_tv * tv_loss(net_params(cfg, params))
+        return loss, (c_co, c_fi)
 
     return loss_fn
 
@@ -195,7 +233,8 @@ def _apply_batch(cfg: Config, loss_fn, lr_fn, field_fn, batch_sharding,
     (loss, (c_co, c_fi)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params, batch, skey, occ)
     lr = lr_fn(state.iteration)
-    params, opt = optim.adam_update(grads, state.opt, state.params, lr)
+    params, opt = optim.adam_update(grads, state.opt, state.params, lr,
+                                    lr_scale=make_lr_scale(cfg, state.params))
     metrics = {"loss": loss, "lr": lr,
                "c_true0": batch.rgb[0], "c_fine0": c_fi[0],
                # last-step batch, for the host-side preview canvas
