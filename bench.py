@@ -74,6 +74,16 @@ def main() -> None:
     parser.add_argument("--prop-enc-l", type=int, default=10,
                         help="PROPOSAL_ENC_L: point-PE bands for the "
                              "proposal field (10 = full Q3 bank)")
+    parser.add_argument("--grid", action="store_true",
+                        help="FINE_FIELD=grid: factorized CP feature-grid "
+                             "fine field (core/gridfield.py, ~7.7x fewer "
+                             "MACs/sample than the reference net)")
+    parser.add_argument("--grid-res", type=int, default=None,
+                        help="grid line resolution override (default 256)")
+    parser.add_argument("--grid-lookup", type=str, default="onehot",
+                        choices=["onehot", "gather"],
+                        help="grid lookup implementation (gather is the "
+                             "measurement-only canonical formulation)")
     parser.add_argument("--occ", action="store_true",
                         help="measure with the occupancy grid enabled "
                              "(empty-space skipping; trades ~9%% rays/s for "
@@ -103,7 +113,11 @@ def main() -> None:
                  use_pallas=not args.no_pallas,
                  fused_render=args.fused, seed=seed,
                  occ_grid=args.occ, white_bkgd=args.occ,
-                 proposal=args.proposal, proposal_enc_l=args.prop_enc_l)
+                 proposal=args.proposal, proposal_enc_l=args.prop_enc_l,
+                 fine_field="grid" if args.grid else "mlp",
+                 grid_lookup=args.grid_lookup)
+    if args.grid_res is not None:
+        cfg.grid_res = args.grid_res
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)
@@ -191,8 +205,9 @@ def main() -> None:
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
         "baseline_basis": "estimated_reference_gpu_8k_rays_per_sec",
         "vs_cpu_measured": round(rays_per_sec / REF_CPU_TRAIN_RAYS_PER_SEC, 1),
-        "config": ("proposal_coarse" if args.proposal
-                   else "reference_shared_net"),
+        "config": (("grid_fine+" if args.grid else "")
+                   + ("proposal_coarse" if args.proposal
+                      else "reference_shared_net")),
     }
     print(f"times={['%.4f' % t for t in times]} "
           f"loss_last={float(np.asarray(losses)[-1]):.4f} "

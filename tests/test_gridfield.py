@@ -210,6 +210,43 @@ def test_grid_sharded_step_on_mesh(setup):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_prop_grid_step_learns(setup):
+    """PROP_FIELD=grid: the proposal pass runs on a tiny CP grid (zero PE
+    transcendentals). Both grid trees train, and the LR mult reaches the
+    proposal grid's lines too."""
+    table, k_inv = setup
+    cfg = _cfg(prop_field="grid", prop_grid_res=16, prop_grid_comp_density=4,
+               prop_grid_comp_app=4, prop_grid_decoder_width=8)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    assert "lines" in state.params["prop"]  # grid tree, not an MLP stack
+    scale = trainlib.make_lr_scale(cfg, state.params)
+    assert scale["prop"]["lines"]["x"] == cfg.grid_lr_mult
+    prop_before = np.asarray(state.params["prop"]["lines"]["x"])
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first
+    assert not np.allclose(np.asarray(state.params["prop"]["lines"]["x"]),
+                           prop_before)
+
+
+def test_prop_grid_with_mlp_fine(setup):
+    """PROP_FIELD=grid composes with the reference MLP fine field."""
+    table, k_inv = setup
+    cfg = _cfg(fine_field="mlp", prop_field="grid", prop_grid_res=16,
+               prop_grid_comp_density=4, prop_grid_comp_app=4,
+               prop_grid_decoder_width=8)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    from tinynerf.core import mlp
+    assert mlp.num_params(state.params["net"]) == 593_924
+    state, m = step(state)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_grid_bf16_path():
     cfg = _cfg(precision="bf16")
     field = trainlib.make_field_fn(cfg)

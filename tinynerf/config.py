@@ -108,6 +108,16 @@ class Config:
     grid_tv: float = 0.0              # total-variation weight on the lines
     grid_lookup: str = "onehot"       # "onehot" (hat-basis matmul, MXU)
                                       # | "gather" (measurement-only)
+    prop_field: str = "mlp"           # "mlp" (narrow PE net) | "grid": the
+                                      # PROPOSAL coarse field as a tiny CP
+                                      # grid — drops the prop net's fixed
+                                      # per-row PE-transcendental cost
+                                      # (the measured bound on the narrow
+                                      # net, kernels/proposal_kernel.py)
+    prop_grid_res: int = 64           # proposal-grid line resolution
+    prop_grid_comp_density: int = 16  # proposal-grid density components
+    prop_grid_comp_app: int = 16      # proposal-grid appearance components
+    prop_grid_decoder_width: int = 16 # proposal-grid decoder width
 
     @property
     def total_samples(self) -> int:
@@ -119,7 +129,9 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY",
              "OCC_MARCH_STEPS", "PROPOSAL_WIDTH", "PROPOSAL_DEPTH",
              "PROPOSAL_ENC_L", "SAMPLE_SHARD", "GRID_RES",
-             "GRID_COMP_DENSITY", "GRID_COMP_APP", "GRID_DECODER_WIDTH"}
+             "GRID_COMP_DENSITY", "GRID_COMP_APP", "GRID_DECODER_WIDTH",
+             "PROP_GRID_RES", "PROP_GRID_COMP_DENSITY",
+             "PROP_GRID_COMP_APP", "PROP_GRID_DECODER_WIDTH"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET", "GRID_EXTENT", "GRID_LR_MULT", "GRID_TV"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
@@ -152,6 +164,10 @@ _KEY_TO_FIELD = {
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
     "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
     "GRID_LOOKUP": "grid_lookup",
+    "PROP_FIELD": "prop_field", "PROP_GRID_RES": "prop_grid_res",
+    "PROP_GRID_COMP_DENSITY": "prop_grid_comp_density",
+    "PROP_GRID_COMP_APP": "prop_grid_comp_app",
+    "PROP_GRID_DECODER_WIDTH": "prop_grid_decoder_width",
 }
 
 

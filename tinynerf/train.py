@@ -56,12 +56,21 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
         else:
             params = mlp.init_network(pkey)
         if cfg.proposal:
-            from tinynerf.core.proposal import init_proposal
             pkey2 = jax.random.fold_in(pkey, 1)
-            params = {"net": params,
-                      "prop": init_proposal(pkey2, cfg.proposal_width,
-                                            cfg.proposal_depth,
-                                            enc_l=cfg.proposal_enc_l)}
+            if cfg.prop_field == "grid":
+                from tinynerf.core.gridfield import init_grid_field
+                prop = init_grid_field(
+                    pkey2, res=cfg.prop_grid_res,
+                    n_density=cfg.prop_grid_comp_density,
+                    n_app=cfg.prop_grid_comp_app,
+                    decoder_width=cfg.prop_grid_decoder_width,
+                    extent=cfg.grid_extent)
+            else:
+                from tinynerf.core.proposal import init_proposal
+                prop = init_proposal(pkey2, cfg.proposal_width,
+                                     cfg.proposal_depth,
+                                     enc_l=cfg.proposal_enc_l)
+            params = {"net": params, "prop": prop}
     if opt_state is None:
         opt_state = optim.adam_init(params)
     occ = None
@@ -131,6 +140,14 @@ def make_prop_field_fn(cfg: Config,
     kept working + tested, same status as FUSED_RENDER."""
     if not cfg.proposal:
         return None
+    if cfg.prop_field == "grid":
+        # tiny CP grid as the proposal field: all matmuls, zero PE
+        # transcendentals — the cost that bounds the narrow prop NET
+        # (kernels/proposal_kernel.py STATUS) simply doesn't exist here
+        from tinynerf.core.gridfield import make_field_grid
+        dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+        return make_field_grid(n_density=cfg.prop_grid_comp_density,
+                               lookup=cfg.grid_lookup, compute_dtype=dtype)
     from tinynerf.core.encoding import L_POINT
     if (cfg.use_pallas and cfg.prop_pallas
             and cfg.proposal_enc_l == L_POINT
@@ -159,7 +176,9 @@ def make_lr_scale(cfg: Config, params: Any):
     decoder/MLP learning rate (TensoRF-style split). Every other leaf —
     decoder, proposal net — stays at 1x, and non-grid configs return None
     so the default path keeps single-LR torch-exact semantics."""
-    if cfg.fine_field != "grid" or cfg.grid_lr_mult == 1.0:
+    uses_grid = (cfg.fine_field == "grid"
+                 or (cfg.proposal and cfg.prop_field == "grid"))
+    if not uses_grid or cfg.grid_lr_mult == 1.0:
         return None
 
     def scale(path, _leaf):
