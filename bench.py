@@ -10,14 +10,17 @@ Adam (reference ``conf/lego.ini``, ``nerf.py:445-475``), on a synthetic
 batch-size-independent throughput metric — pass --batch 400 for the literal
 reference batch).
 
-Default model config since round 3: PROPOSAL (narrow coarse field +
-full-size fine net). This deviates from the reference's shared-single-net
-architecture but is measured STRICTLY dominant on the 20k-iter validation
-protocol — 23.58 dB at ~150k rays/s vs 18.37 dB at ~110k for reference
-semantics (VALIDATION.md round-3 table) — i.e. faster AND higher quality,
-like the bf16/Pallas choices before it. ``--no-proposal`` measures the
-reference-architecture config; the JSON carries a ``config`` field naming
-the measured variant.
+Default model config since round 3: PROPOSAL (small coarse proposal field +
+full-size fine net), with the proposal field as a tiny CP grid
+(PROP_FIELD=grid) since late round 3. This deviates from the reference's
+shared-single-net architecture but each step is measured STRICTLY dominant
+on the 20k-iter validation protocol (VALIDATION.md round-3 tables):
+reference semantics 18.37 dB @110k -> proposal net 23.38 dB @154k ->
+full-stack prop net 30.47 dB @135k -> full-stack prop GRID 30.76 dB @142k
+sustained — i.e. faster AND higher quality at every flip, like the
+bf16/Pallas choices before it. ``--no-proposal`` measures the
+reference-architecture config, ``--prop-field mlp`` the narrow-net
+proposal; the JSON carries a ``config`` field naming the measured variant.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md). The comparison
 point is an estimated 8,000 rays/sec for the PyTorch reference on a modern
@@ -74,6 +77,12 @@ def main() -> None:
     parser.add_argument("--prop-enc-l", type=int, default=10,
                         help="PROPOSAL_ENC_L: point-PE bands for the "
                              "proposal field (10 = full Q3 bank)")
+    parser.add_argument("--prop-field", type=str, default="grid",
+                        choices=["mlp", "grid"],
+                        help="PROP_FIELD: proposal field implementation — "
+                             "tiny CP grid (default; zero PE "
+                             "transcendentals, measured strictly dominant) "
+                             "or the narrow PE net")
     parser.add_argument("--grid", action="store_true",
                         help="FINE_FIELD=grid: factorized CP feature-grid "
                              "fine field (core/gridfield.py, ~7.7x fewer "
@@ -114,6 +123,7 @@ def main() -> None:
                  fused_render=args.fused, seed=seed,
                  occ_grid=args.occ, white_bkgd=args.occ,
                  proposal=args.proposal, proposal_enc_l=args.prop_enc_l,
+                 prop_field=args.prop_field,
                  fine_field="grid" if args.grid else "mlp",
                  grid_lookup=args.grid_lookup)
     if args.grid_res is not None:
@@ -206,7 +216,8 @@ def main() -> None:
         "baseline_basis": "estimated_reference_gpu_8k_rays_per_sec",
         "vs_cpu_measured": round(rays_per_sec / REF_CPU_TRAIN_RAYS_PER_SEC, 1),
         "config": (("grid_fine+" if args.grid else "")
-                   + ("proposal_coarse" if args.proposal
+                   + (("proposal_grid" if args.prop_field == "grid"
+                       else "proposal_coarse") if args.proposal
                       else "reference_shared_net")),
     }
     print(f"times={['%.4f' % t for t in times]} "

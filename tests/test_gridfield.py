@@ -88,7 +88,10 @@ def test_lookup_is_linear_interp():
 
 
 def test_lr_scale_tree():
-    cfg = _cfg()
+    # pin the MLP proposal so the prop subtree has no line tables: only
+    # grid lines anywhere in the params get the multiplier (the default
+    # grid proposal's lines DO get it — test_prop_grid_step_learns)
+    cfg = _cfg(prop_field="mlp")
     state = trainlib.init_state(cfg)
     scale = trainlib.make_lr_scale(cfg, state.params)
     assert all(scale["net"]["lines"][ax] == cfg.grid_lr_mult

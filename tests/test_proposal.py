@@ -136,7 +136,8 @@ def test_bf16_fields_encode_at_f32():
     """The bf16 compute paths must positional-encode at f32: quantizing the
     raw coordinates to bf16 turns the top PE bands into phase noise."""
     import jax.numpy as jnp2
-    cfg = Config(precision="bf16", use_pallas=False, proposal=True)
+    cfg = Config(precision="bf16", use_pallas=False, proposal=True,
+                 prop_field="mlp")  # this test checks the PE-net path
     field = trainlib.make_field_fn(cfg)
     prop_field = trainlib.make_prop_field_fn(cfg)
     from tinynerf.core import mlp
@@ -170,7 +171,7 @@ def test_proposal_narrow_encoding(setup):
     np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
 
     table, k_inv = setup
-    cfg = _cfg(proposal_enc_l=6)
+    cfg = _cfg(proposal_enc_l=6, prop_field="mlp")  # PE-net-specific knob
     step = trainlib.make_train_step(cfg, table, k_inv)
     state = trainlib.init_state(cfg)
     assert state.params["prop"]["trunk_0"]["w"].shape[0] == 36

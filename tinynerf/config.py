@@ -102,18 +102,27 @@ class Config:
     grid_comp_app: int = 48           # CP components for appearance
     grid_decoder_width: int = 64      # color-decoder hidden width
     grid_extent: float = 1.5          # grid half-extent (world units)
-    grid_lr_mult: float = 40.0        # LR multiplier on the line tables
+    grid_lr_mult: float = 20.0        # LR multiplier on the line tables
                                       # (factorized grids want 10-40x the
-                                      # MLP rate; decoder stays at 1x)
+                                      # MLP rate; decoder stays at 1x.
+                                      # 20 measured best on the 20k-iter
+                                      # validation sweep: 27.1 dB vs 24.6
+                                      # at 40 and 26.1 at 10, VALIDATION.md)
     grid_tv: float = 0.0              # total-variation weight on the lines
     grid_lookup: str = "onehot"       # "onehot" (hat-basis matmul, MXU)
                                       # | "gather" (measurement-only)
-    prop_field: str = "mlp"           # "mlp" (narrow PE net) | "grid": the
-                                      # PROPOSAL coarse field as a tiny CP
-                                      # grid — drops the prop net's fixed
-                                      # per-row PE-transcendental cost
-                                      # (the measured bound on the narrow
-                                      # net, kernels/proposal_kernel.py)
+    prop_field: str = "grid"          # "grid" (tiny CP grid) | "mlp"
+                                      # (narrow PE net). The grid proposal
+                                      # drops the prop net's fixed per-row
+                                      # PE-transcendental cost (the measured
+                                      # bound on the narrow net,
+                                      # kernels/proposal_kernel.py) and is
+                                      # strictly dominant on the flagship
+                                      # MLP-fine stack: 30.76 dB @165k vs
+                                      # 30.47 dB @150k (VALIDATION.md r3).
+                                      # Only read when PROPOSAL=True, so
+                                      # reference-faithful defaults are
+                                      # unaffected.
     prop_grid_res: int = 64           # proposal-grid line resolution
     prop_grid_comp_density: int = 16  # proposal-grid density components
     prop_grid_comp_app: int = 16      # proposal-grid appearance components
