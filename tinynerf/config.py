@@ -109,6 +109,12 @@ class Config:
                                       # validation sweep: 27.1 dB vs 24.6
                                       # at 40 and 26.1 at 10, VALIDATION.md)
     grid_tv: float = 0.0              # total-variation weight on the lines
+    grid_pallas: bool = False         # fused CP-grid Pallas kernel
+                                      # (kernels/grid_kernel.py): keeps the
+                                      # (rows, R) hat-basis matrices in VMEM
+                                      # instead of round-tripping them
+                                      # through HBM every matmul. Opt-in
+                                      # pending TPU measurement.
     grid_lookup: str = "onehot"       # "onehot" (hat-basis matmul, MXU)
                                       # | "gather" (measurement-only)
     prop_field: str = "grid"          # "grid" (tiny CP grid) | "mlp"
@@ -172,7 +178,7 @@ _KEY_TO_FIELD = {
     "GRID_COMP_DENSITY": "grid_comp_density", "GRID_COMP_APP": "grid_comp_app",
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
     "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
-    "GRID_LOOKUP": "grid_lookup",
+    "GRID_LOOKUP": "grid_lookup", "GRID_PALLAS": "grid_pallas",
     "PROP_FIELD": "prop_field", "PROP_GRID_RES": "prop_grid_res",
     "PROP_GRID_COMP_DENSITY": "prop_grid_comp_density",
     "PROP_GRID_COMP_APP": "prop_grid_comp_app",

@@ -93,8 +93,18 @@ def make_field_fn(cfg: Config, force_pallas: bool = False) -> render.FieldFn:
         # the proposal net's default path is jnp, train.make_prop_field_fn)
         from tinynerf.core.gridfield import make_field_grid
         dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
-        return make_field_grid(n_density=cfg.grid_comp_density,
-                               lookup=cfg.grid_lookup, compute_dtype=dtype)
+        fn = make_field_grid(n_density=cfg.grid_comp_density,
+                             lookup=cfg.grid_lookup, compute_dtype=dtype)
+        if cfg.grid_pallas and (force_pallas
+                                or jax.default_backend() == "tpu"):
+            # fused ray-major kernel: the (rows, R) hat-basis matrices —
+            # the jnp path's dominant HBM artifact — live only in VMEM
+            import functools
+            from tinynerf.kernels.grid_kernel import grid_field_pallas_rays
+            fn.eval_rays = functools.partial(
+                grid_field_pallas_rays, n_density=cfg.grid_comp_density,
+                compute_dtype=dtype)
+        return fn
     if cfg.use_pallas and (force_pallas or jax.default_backend() == "tpu"):
         import functools
         from tinynerf.kernels.mlp_kernel import field_pallas, field_pallas_rays
@@ -146,8 +156,20 @@ def make_prop_field_fn(cfg: Config,
         # (kernels/proposal_kernel.py STATUS) simply doesn't exist here
         from tinynerf.core.gridfield import make_field_grid
         dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
-        return make_field_grid(n_density=cfg.prop_grid_comp_density,
-                               lookup=cfg.grid_lookup, compute_dtype=dtype)
+        fn = make_field_grid(n_density=cfg.prop_grid_comp_density,
+                             lookup=cfg.grid_lookup, compute_dtype=dtype)
+        if cfg.grid_pallas and (force_pallas
+                                or jax.default_backend() == "tpu"):
+            # same fused kernel, proposal-grid geometry (R=64, F=32): no
+            # transcendentals on its hot path, so the proposal-kernel
+            # serialization lesson (make_prop_field_fn docstring) does not
+            # apply here
+            import functools
+            from tinynerf.kernels.grid_kernel import grid_field_pallas_rays
+            fn.eval_rays = functools.partial(
+                grid_field_pallas_rays,
+                n_density=cfg.prop_grid_comp_density, compute_dtype=dtype)
+        return fn
     from tinynerf.core.encoding import L_POINT
     if (cfg.use_pallas and cfg.prop_pallas
             and cfg.proposal_enc_l == L_POINT
