@@ -89,6 +89,9 @@ def main() -> None:
                              "MACs/sample than the reference net)")
     parser.add_argument("--grid-res", type=int, default=None,
                         help="grid line resolution override (default 256)")
+    parser.add_argument("--grid-pallas", action="store_true",
+                        help="fused CP-grid Pallas kernel for the grid "
+                             "fields (kernels/grid_kernel.py)")
     parser.add_argument("--grid-lookup", type=str, default="onehot",
                         choices=["onehot", "gather"],
                         help="grid lookup implementation (gather is the "
@@ -125,7 +128,7 @@ def main() -> None:
                  proposal=args.proposal, proposal_enc_l=args.prop_enc_l,
                  prop_field=args.prop_field,
                  fine_field="grid" if args.grid else "mlp",
-                 grid_lookup=args.grid_lookup)
+                 grid_lookup=args.grid_lookup, grid_pallas=args.grid_pallas)
     if args.grid_res is not None:
         cfg.grid_res = args.grid_res
 

@@ -109,6 +109,13 @@ class Config:
                                       # validation sweep: 27.1 dB vs 24.6
                                       # at 40 and 26.1 at 10, VALIDATION.md)
     grid_tv: float = 0.0              # total-variation weight on the lines
+    grid_upsample: str = ""           # coarse-to-fine line-resolution
+                                      # schedule, "iter:res,iter:res" (e.g.
+                                      # "2000:384,4000:512"): before step
+                                      # iter, the fine grid's line tables +
+                                      # Adam moments are linearly resampled
+                                      # to res (TensoRF-style upsampling;
+                                      # train.upsample_grid_state)
     grid_pallas: bool = False         # fused CP-grid Pallas kernel
                                       # (kernels/grid_kernel.py): keeps the
                                       # (rows, R) hat-basis matrices in VMEM
@@ -179,11 +186,41 @@ _KEY_TO_FIELD = {
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
     "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
     "GRID_LOOKUP": "grid_lookup", "GRID_PALLAS": "grid_pallas",
+    "GRID_UPSAMPLE": "grid_upsample",
     "PROP_FIELD": "prop_field", "PROP_GRID_RES": "prop_grid_res",
     "PROP_GRID_COMP_DENSITY": "prop_grid_comp_density",
     "PROP_GRID_COMP_APP": "prop_grid_comp_app",
     "PROP_GRID_DECODER_WIDTH": "prop_grid_decoder_width",
 }
+
+
+def parse_grid_upsample(spec: str) -> List[tuple]:
+    """``GRID_UPSAMPLE`` schedule string -> sorted ``[(iter, res), ...]``.
+
+    Format: comma-separated ``iter:res`` pairs, e.g. ``"2000:384,4000:512"``.
+    Iterations and resolutions must both be strictly increasing (this is an
+    UPsampling schedule; downsampling would discard information)."""
+    spec = spec.strip()
+    if not spec:
+        return []
+    pairs = []
+    for tok in spec.replace(";", ",").split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        it_s, _, res_s = tok.partition(":")
+        try:
+            pairs.append((int(it_s), int(res_s)))
+        except ValueError:
+            raise ValueError(
+                f"GRID_UPSAMPLE entry {tok!r} is not 'iter:res'") from None
+    pairs.sort()
+    for (i0, r0), (i1, r1) in zip(pairs, pairs[1:]):
+        if i0 == i1 or r1 <= r0:
+            raise ValueError(
+                "GRID_UPSAMPLE iterations must be distinct and resolutions "
+                f"strictly increasing, got {pairs}")
+    return pairs
 
 
 def _parse_milestones(raw: str) -> List[int]:

@@ -174,6 +174,37 @@ def make_field_grid(n_density: int = N_COMP_DENSITY, lookup: str = "onehot",
     return field
 
 
+def upsample_matrix(old_res: int, new_res: int) -> jnp.ndarray:
+    """(new_res, old_res) linear-interpolation operator between lattices.
+
+    Row j holds the hat-basis weights of new node j (at ``j*(R-1)/(R'-1)``
+    in old-lattice coordinates) — the exact operator the field itself uses
+    to read the lines, so upsampling commutes with evaluation: when the new
+    lattice contains the old nodes (``(new-1) % (old-1) == 0``) the
+    represented piecewise-linear function is preserved bit-for-bit in
+    exact arithmetic."""
+    new_x = jnp.linspace(0.0, float(old_res - 1), new_res)
+    idx = jnp.arange(old_res, dtype=jnp.float32)
+    return jax.nn.relu(1.0 - jnp.abs(new_x[:, None] - idx[None, :]))
+
+
+def upsample_lines(params: Params, new_res: int) -> Params:
+    """Coarse-to-fine resolution step (TensoRF-style): resize each per-axis
+    line table (R, F) -> (new_res, F) by linear interpolation on the MXU.
+    Decoder/extent leaves pass through untouched. Works on any pytree with
+    the grid-field layout — Adam moment trees included (they live on the
+    same lattice as their parameters)."""
+    old_res = params["lines"][AXES[0]].shape[0]
+    if new_res == old_res:
+        return params
+    w = upsample_matrix(old_res, new_res)
+    out = dict(params)
+    out["lines"] = {ax: jnp.matmul(w, params["lines"][ax],
+                                   precision=jax.lax.Precision.HIGHEST)
+                    for ax in AXES}
+    return out
+
+
 def tv_loss(params: Params) -> jnp.ndarray:
     """Total-variation regularizer over the line tables: mean squared
     difference of adjacent entries, summed over the three axes. O(3*R*F)

@@ -180,6 +180,14 @@ class Runner:
         else:
             end = cfg.total_iter
             step_fn = self._step_fn(table)
+        # coarse-to-fine grid schedule: milestones at iterations not yet run
+        # (a resumed run's checkpoint already carries post-milestone shapes
+        # for every milestone < start)
+        upsample = []
+        if mode == "train" and cfg.fine_field == "grid" and cfg.grid_upsample:
+            from tinynerf.config import parse_grid_upsample
+            upsample = [(i, r) for i, r in parse_grid_upsample(
+                cfg.grid_upsample) if i >= start]
         print(f"[STEP] {mode}: iterations {start} -> {end}")
         feeder = self._make_feeder(table) if cfg.host_feed else None
         profiling_until = (start + cfg.profile_steps
@@ -210,6 +218,14 @@ class Runner:
         meter = Throughput(rays_per_step=cfg.batch_ray)
         it = start
         while it < end:
+            if upsample and it == upsample[0][0]:
+                _, new_res = upsample.pop(0)
+                self.state = trainlib.upsample_grid_state(
+                    cfg, self.state, new_res)
+                if self.mesh is not None:
+                    self.state = meshlib.replicate_state(self.state, self.mesh)
+                print(f"[GRID] upsampled line tables to R={new_res} "
+                      f"before iter {it}")
             if it == profiling_until:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
@@ -220,7 +236,11 @@ class Runner:
                 chunk = self._chunk_size(cfg.step) if chunked else 1
                 multi_fn = _make_multi(chunk) if chunked else None
 
-            if multi_fn is not None and it + chunk <= end:
+            # single-step across an upcoming milestone so the resize lands
+            # exactly before its iteration (chunks are scan-fused and cannot
+            # change param shapes mid-flight)
+            if (multi_fn is not None and it + chunk <= end
+                    and not (upsample and it + chunk > upsample[0][0])):
                 if idx_epoch is not None:
                     self.state, metrics = multi_fn(
                         self.state, idx_epoch[it - start: it - start + chunk])

@@ -191,6 +191,32 @@ def make_prop_field_fn(cfg: Config,
     return make_field_proposal(cfg.proposal_enc_l, compute_dtype=dtype)
 
 
+def upsample_grid_state(cfg: Config, state: TrainState,
+                        new_res: int) -> TrainState:
+    """Coarse-to-fine resolution step for the fine grid field
+    (``GRID_UPSAMPLE``): linearly resample the line tables — and the
+    matching Adam moment trees, which live on the same lattice — to
+    ``new_res`` nodes per axis.
+
+    Interpolating the moments (instead of TensoRF's full optimizer reset)
+    preserves per-node adaptivity across the jump: ``nu`` stays
+    non-negative because the interpolation weights are. The decoder,
+    proposal field and iteration/LR state pass through untouched. Shapes
+    change, so the next train-step call re-traces (once per milestone).
+    Runs outside jit — a few (R', R) @ (R, F) matmuls, host-dispatched."""
+    from tinynerf.core.gridfield import upsample_lines
+
+    def resize(tree):
+        if cfg.proposal:
+            return dict(tree, net=upsample_lines(tree["net"], new_res))
+        return upsample_lines(tree, new_res)
+
+    return state._replace(
+        params=resize(state.params),
+        opt=state.opt._replace(mu=resize(state.opt.mu),
+                               nu=resize(state.opt.nu)))
+
+
 def make_lr_scale(cfg: Config, params: Any):
     """Per-leaf LR-multiplier pytree for optim.adam_update, or None.
 

@@ -57,11 +57,21 @@ def main() -> None:
     from tinynerf.core import mlp
 
     try:
-        obj = torch.load(args.src, map_location="cpu", weights_only=False)
-    except (ModuleNotFoundError, AttributeError) as e:
-        sys.exit(f"cannot unpickle {args.src}: {e}. Whole-module reference "
-                 "pickles need the reference source on the path — pass "
-                 "--ref-path /path/to/NeRF-tiny")
+        # state-dict-style pickles load under the restricted unpickler;
+        # only fall back to full unpickling (arbitrary-code execution for a
+        # malicious file) for whole-module reference pickles, loudly
+        obj = torch.load(args.src, map_location="cpu", weights_only=True)
+    except Exception:
+        print(f"WARNING: {args.src} is not a plain tensor pickle; falling "
+              "back to weights_only=False (full pickle VM — only do this "
+              "for checkpoints you trust)", file=sys.stderr)
+        try:
+            obj = torch.load(args.src, map_location="cpu",
+                             weights_only=False)
+        except (ModuleNotFoundError, AttributeError) as e:
+            sys.exit(f"cannot unpickle {args.src}: {e}. Whole-module "
+                     "reference pickles need the reference source on the "
+                     "path — pass --ref-path /path/to/NeRF-tiny")
     network = getattr(obj, "network", obj)  # NeRFModel or bare Network
     sd = {k: v.detach().numpy() for k, v in network.state_dict().items()}
 
