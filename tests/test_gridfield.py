@@ -250,6 +250,28 @@ def test_prop_grid_with_mlp_fine(setup):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_grid_ndc_llff_scene(llff_scene_dir):
+    """FINE_FIELD=grid on an LLFF/NDC scene: after the NDC warp, sample
+    points live in roughly [-1,1]^2 x [0,1], so a unit-extent grid covers
+    the frustum and the full prop-grid + fine-grid stack trains."""
+    table = RayTable(load_scene(llff_scene_dir, "llff", "train"))
+    k_inv = make_k_inv(table.height, table.width, table.focal)
+    cfg = _cfg(grid_extent=1.0, prop_field="grid", prop_grid_res=16,
+               prop_grid_comp_density=4, prop_grid_comp_app=4,
+               prop_grid_decoder_width=8)
+    ndc_params = (float(table.height), float(table.width),
+                  float(table.focal))
+    step = trainlib.make_train_step(cfg, table, k_inv,
+                                    ndc_params=ndc_params)
+    state = trainlib.init_state(cfg)
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first
+
+
 def test_grid_bf16_path():
     cfg = _cfg(precision="bf16")
     field = trainlib.make_field_fn(cfg)

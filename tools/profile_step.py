@@ -61,6 +61,8 @@ def main() -> None:
     ap.add_argument("--proposal", action="store_true")
     ap.add_argument("--grid", action="store_true",
                     help="FINE_FIELD=grid (factorized CP feature grid)")
+    ap.add_argument("--grid-pallas", action="store_true",
+                    help="fused CP-grid Pallas kernel (GRID_PALLAS)")
     ap.add_argument("--out", default="/tmp/tinynerf_trace")
     args = ap.parse_args()
 
@@ -90,7 +92,8 @@ def main() -> None:
                  n_fine=args.fine, precision=args.precision, seed=seed,
                  occ_grid=args.occ, white_bkgd=args.occ,
                  occ_update_every=10 ** 9, proposal=args.proposal,
-                 fine_field="grid" if args.grid else "mlp")
+                 fine_field="grid" if args.grid else "mlp",
+                 grid_pallas=args.grid_pallas)
     table = RayTable(SceneData(images=images, poses_bounds=pose_rows,
                                height=hw, width=hw, focal=focal))
     step = trainlib.make_train_step(cfg, table, make_k_inv(hw, hw, focal))
