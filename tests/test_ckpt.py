@@ -57,6 +57,45 @@ def test_import_torch_state_dict_shapes_and_forward():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_export_torch_state_dict_roundtrip(tmp_path):
+    """Export -> reference-module .pkl -> import must reproduce our params
+    exactly, and the strict load into the actual reference Network/NeRFModel
+    catches any naming or shape drift (tools/export_torch_ckpt.py path)."""
+    torch = __import__("torch")
+    import sys
+    sys.path.insert(0, "/root/reference")
+    try:
+        import nerf as refnerf
+    finally:
+        sys.path.pop(0)
+
+    params = mlp.init_network(jax.random.PRNGKey(3))
+    sd_np = ckpt.export_torch_state_dict(params)
+    model = refnerf.NeRFModel(num_coarse=4, num_fine=8, batch_ray=2)
+    model.network.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd_np.items()}, strict=True)
+
+    # the reference's own resume path: torch.save(model) -> torch.load
+    pkl = str(tmp_path / "exported_7.pkl")
+    torch.save(model, pkl)
+    loaded = torch.load(pkl, map_location="cpu", weights_only=False)
+    back = ckpt.import_torch_state_dict(
+        {k: v.detach().numpy() for k, v in loaded.network.state_dict().items()})
+    for name in params:
+        np.testing.assert_array_equal(np.asarray(params[name]["w"]),
+                                      np.asarray(back[name]["w"]))
+        np.testing.assert_array_equal(np.asarray(params[name]["b"]),
+                                      np.asarray(back[name]["b"]))
+
+    # PROPOSAL trees export their fine net; grid trees refuse loudly
+    sd_prop = ckpt.export_torch_state_dict({"net": params, "prop": {}})
+    np.testing.assert_array_equal(sd_prop["point_info.weight"],
+                                  sd_np["point_info.weight"])
+    import pytest
+    with pytest.raises(ValueError):
+        ckpt.export_torch_state_dict({"lines": {}, "decoder": {}})
+
+
 def test_occ_grid_roundtrip(tmp_path):
     """The occupancy grid is TRAINING state (weights co-adapt to its
     tightened sampling) — it must survive checkpoint resume."""

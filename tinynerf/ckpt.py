@@ -140,3 +140,31 @@ def import_torch_state_dict(state_dict: Dict[str, Any]) -> Any:
     params["dir_info"] = get("dir_info.0")
     params["color"] = get("color_layer.0")
     return params
+
+
+def export_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_torch_state_dict`: map our MLP param pytree
+    onto the reference ``Network`` state_dict names (``nerf.py:76-99``),
+    weights transposed back to torch's ``(out, in)`` layout. Only the
+    reference-architecture MLP family exports (the grid fields have no
+    reference counterpart). Values are numpy; the caller tensorizes
+    (tools/export_torch_ckpt.py writes a reference-resumable ``.pkl``)."""
+    if "net" in params and isinstance(params["net"], dict):
+        params = params["net"]  # PROPOSAL tree: the fine net is the model
+    if "trunk_0" not in params:
+        raise ValueError(
+            "only the MLP family maps onto the reference Network "
+            "(FINE_FIELD=grid checkpoints have no torch counterpart)")
+
+    def put(name: str, leaf: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        return {f"{name}.weight": np.asarray(leaf["w"], np.float32).T.copy(),
+                f"{name}.bias": np.asarray(leaf["b"], np.float32).copy()}
+
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(8):
+        sd.update(put(f"point_layer.{i}.0", params[f"trunk_{i}"]))
+    sd.update(put("sigma_layer.0", params["sigma"]))
+    sd.update(put("point_info", params["point_info"]))
+    sd.update(put("dir_info.0", params["dir_info"]))
+    sd.update(put("color_layer.0", params["color"]))
+    return sd
