@@ -48,6 +48,34 @@ def test_frame_fn_shape_and_chunks(setup):
                                atol=1e-3)
 
 
+def test_frame_fn_host_chunks_matches_lax_map(setup):
+    """The serving-path host-chunk loop (one program per chunk, numpy out)
+    must produce the same frame as the whole-frame lax.map program — incl.
+    under PROPOSAL (whose frame compile the mode exists to sidestep) and
+    with extras (depth/acc)."""
+    table, k_inv = setup
+    cfg = _cfg(render_chunk=50, proposal=True, prop_grid_res=8,
+               prop_grid_comp_density=4, prop_grid_comp_app=4,
+               prop_grid_decoder_width=8)
+    state = trainlib.init_state(cfg)
+    pose = jnp.asarray(np.asarray(table.poses)[0])
+    ref_fn = evallib.make_frame_fn(cfg, k_inv, table.height, table.width)
+    host_fn = evallib.make_frame_fn(cfg, k_inv, table.height, table.width,
+                                    host_chunks=True)
+    ref = np.asarray(ref_fn(state.params, pose))
+    host = host_fn(state.params, pose)
+    assert isinstance(host, np.ndarray)
+    np.testing.assert_allclose(ref, host, atol=1e-5)
+
+    ref_x = evallib.make_frame_fn(cfg, k_inv, table.height, table.width,
+                                  extras=True)(state.params, pose)
+    host_x = evallib.make_frame_fn(cfg, k_inv, table.height, table.width,
+                                   extras=True, host_chunks=True)(
+                                       state.params, pose)
+    for r, h in zip(ref_x, host_x):
+        np.testing.assert_allclose(np.asarray(r), h, atol=1e-5)
+
+
 def test_render_test_set_artifacts(setup, tmp_path):
     table, k_inv = setup
     cfg = _cfg(results_path=str(tmp_path))

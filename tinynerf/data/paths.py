@@ -17,6 +17,8 @@ Two scene-appropriate generators, both emitting the framework's native
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from tinynerf.data.poses import average_pose, view_matrix, _normalize
@@ -40,10 +42,9 @@ def _split_rows(pose_rows: np.ndarray):
     return c2ws, hwf, near, far
 
 
-def orbit_path(pose_rows: np.ndarray, n_views: int = 120,
-               res_scale: float = 1.0) -> np.ndarray:
-    """360-degree orbit at the training cameras' mean radius and elevation,
-    every camera looking exactly at the origin (back axis == position/r)."""
+def _orbit_geometry(pose_rows: np.ndarray):
+    """Shared orbit-sphere fit: (radius, elevation, hwf, near, far) of the
+    training rig (mean camera radius/elevation around the origin)."""
     c2ws, hwf, near, far = _split_rows(np.asarray(pose_rows, np.float64))
     centers = c2ws[:, :, 3]
     radii = np.linalg.norm(centers, axis=1)
@@ -54,16 +55,47 @@ def orbit_path(pose_rows: np.ndarray, n_views: int = 120,
     elev = float(np.arcsin(np.clip(centers[:, 1] / np.maximum(radii, 1e-9),
                                    -1.0, 1.0)).mean())
     elev = float(np.clip(elev, -1.4, 1.4))
-    up = np.array([0.0, 1.0, 0.0])
+    return radius, elev, hwf, near, far
 
+
+def _orbit_c2w(radius: float, theta: float, elev: float) -> np.ndarray:
+    """Origin-looking camera at spherical (radius, azimuth, elevation)."""
+    up = np.array([0.0, 1.0, 0.0])
+    pos = radius * np.array([np.sin(theta) * np.cos(elev),
+                             np.sin(elev),
+                             np.cos(theta) * np.cos(elev)])
+    return view_matrix(pos, up, pos)  # back == normalized position
+
+
+def orbit_path(pose_rows: np.ndarray, n_views: int = 120,
+               res_scale: float = 1.0) -> np.ndarray:
+    """360-degree orbit at the training cameras' mean radius and elevation,
+    every camera looking exactly at the origin (back axis == position/r)."""
+    radius, elev, hwf, near, far = _orbit_geometry(pose_rows)
     out = np.zeros((n_views, 3, 4))
     for i, theta in enumerate(np.linspace(0.0, 2.0 * np.pi, n_views,
                                           endpoint=False)):
-        pos = radius * np.array([np.sin(theta) * np.cos(elev),
-                                 np.sin(elev),
-                                 np.cos(theta) * np.cos(elev)])
-        out[i] = view_matrix(pos, up, pos)  # back == normalized position
+        out[i] = _orbit_c2w(radius, theta, elev)
     return _rows_from_c2ws(out, hwf * res_scale, near, far)
+
+
+def orbit_pose(pose_rows: np.ndarray, theta_deg: float,
+               elev_deg: Optional[float] = None, radius_scale: float = 1.0,
+               res_scale: float = 1.0) -> np.ndarray:
+    """ONE free-viewpoint pose row on (a scaling of) the training rig's
+    orbit sphere — the interactive-viewer parameterization
+    (tools/serve_render.py): azimuth/elevation in degrees, radius relative
+    to the rig's mean. ``elev_deg=None`` keeps the rig's mean elevation."""
+    base_radius, elev, hwf, near, far = _orbit_geometry(pose_rows)
+    if elev_deg is not None:
+        elev = float(np.clip(np.deg2rad(elev_deg), -1.4, 1.4))
+    radius = base_radius * float(radius_scale)
+    c2w = _orbit_c2w(radius, np.deg2rad(theta_deg), elev)
+    # near/far track the radius change so the march still brackets the scene
+    shift = radius - base_radius
+    near = max(near + shift, 1e-3)
+    far = far + shift
+    return _rows_from_c2ws(c2w[None], hwf * res_scale, near, far)[0]
 
 
 def spiral_path(pose_rows: np.ndarray, n_views: int = 120,

@@ -24,7 +24,8 @@ from tinynerf.data.rays import RayTable
 
 def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                   field_fn=None, ndc_params=None, batch_sharding=None,
-                  occ_grid=None, extras: bool = False):
+                  occ_grid=None, extras: bool = False,
+                  host_chunks: bool = False):
     """Whole-frame renderer: ONE jitted dispatch per view.
 
     The pixel grid is marched with an on-device ``lax.map`` over fixed-size
@@ -39,7 +40,12 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
     With the fused Pallas renderer (single-chip, ``field_fn.render_fused``)
     the frame is ONE kernel call over every pixel — the kernel's ray-tile
     grid bounds memory by construction, and wrapping it in ``lax.map``
-    instead makes XLA's stacked-output loop fusion exceed the VMEM stack."""
+    instead makes XLA's stacked-output loop fusion exceed the VMEM stack.
+
+    ``host_chunks=True`` trades steady-state frame rate for
+    time-to-first-frame: a Python loop over ONE jitted chunk program
+    (returns numpy) instead of the single whole-frame XLA program — see
+    the inline note on the PROPOSAL frame-compile blowup."""
     if field_fn is None:
         from tinynerf.train import make_field_fn
         field_fn = make_field_fn(cfg)
@@ -49,7 +55,8 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
 
     if (getattr(field_fn, "render_fused", None) is not None
             and batch_sharding is None and not cfg.compat_sort
-            and cfg.n_fine > 0 and not extras and not cfg.proposal):
+            and cfg.n_fine > 0 and not extras and not cfg.proposal
+            and not host_chunks):
         rr, cc = np.meshgrid(np.arange(height, dtype=np.float32),
                              np.arange(width, dtype=np.float32),
                              indexing="ij")
@@ -89,44 +96,69 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
     cols = np.pad(cc.reshape(-1), (0, padded - num_pix)).reshape(n_chunks, chunk)
     rows_d, cols_d = jnp.asarray(rows), jnp.asarray(cols)
 
-    def frame(params, pose17_row):
+    # deep-march path: fine samples sharded over the mesh's sample axis
+    sh_render = None
+    if (cfg.sample_shard > 1 and batch_sharding is not None
+            and "sample" in dict(batch_sharding.mesh.shape)
+            and occ_grid is None and not extras and not cfg.compat_sort
+            and not cfg.proposal and cfg.n_fine > 0
+            and ndc_params is None):
+        from tinynerf.parallel.sample_shard import (
+            make_sample_sharded_render)
+        sh_render = make_sample_sharded_render(
+            batch_sharding.mesh, k_inv, cfg.n_coarse, cfg.n_fine,
+            field_fn=field_fn, white_bkgd=cfg.white_bkgd)
+
+    def chunk_body(params, r, c, pose17_row):
         pose = jnp.broadcast_to(pose17_row.astype(jnp.float32), (chunk, 17))
+        if sh_render is not None:
+            _, c_fine = sh_render(params, r, c, pose)
+            return c_fine
+        if batch_sharding is not None:
+            r = jax.lax.with_sharding_constraint(r, batch_sharding)
+            c = jax.lax.with_sharding_constraint(c, batch_sharding)
+        out = render.render_rays(
+            net_params(cfg, params), r, c, pose, k_inv,
+            cfg.n_coarse, cfg.n_fine,
+            field_fn=field_fn, compat_sort=cfg.compat_sort,
+            ndc_params=ndc_params, merge_impl="twolist",
+            white_bkgd=cfg.white_bkgd, occ_grid=occ_grid,
+            occ_march=cfg.occ_march_steps, extras=extras,
+            prop_params=prop_params(cfg, params),
+            prop_field_fn=prop_fn)
+        if extras:
+            return out[1], out[2], out[3]
+        return out[1]
 
-        # deep-march path: fine samples sharded over the mesh's sample axis
-        sh_render = None
-        if (cfg.sample_shard > 1 and batch_sharding is not None
-                and "sample" in dict(batch_sharding.mesh.shape)
-                and occ_grid is None and not extras and not cfg.compat_sort
-                and not cfg.proposal and cfg.n_fine > 0
-                and ndc_params is None):
-            from tinynerf.parallel.sample_shard import (
-                make_sample_sharded_render)
-            sh_render = make_sample_sharded_render(
-                batch_sharding.mesh, k_inv, cfg.n_coarse, cfg.n_fine,
-                field_fn=field_fn, white_bkgd=cfg.white_bkgd)
+    if host_chunks:
+        # Host-loop variant: ONE compiled program per pixel CHUNK instead of
+        # per frame. Steady-state is slower (a dispatch per chunk — ~22 ms
+        # each through the remote TPU tunnel), but time-to-first-frame drops
+        # from minutes to seconds under PROPOSAL, whose chunk body blows up
+        # the TPU backend's whole-frame fusion passes when wrapped in
+        # lax.map (the measured ~115-300 s one-time frame compile — see
+        # CLAUDE.md render-path notes). The interactive serving path
+        # (tools/serve_render.py) defaults to this mode.
+        jit_chunk = jax.jit(chunk_body, out_shardings=out_shardings)
 
-        def one_chunk(rc):
-            r, c = rc
-            if sh_render is not None:
-                _, c_fine = sh_render(params, r, c, pose)
-                return c_fine
-            if batch_sharding is not None:
-                r = jax.lax.with_sharding_constraint(r, batch_sharding)
-                c = jax.lax.with_sharding_constraint(c, batch_sharding)
-            out = render.render_rays(
-                net_params(cfg, params), r, c, pose, k_inv,
-                cfg.n_coarse, cfg.n_fine,
-                field_fn=field_fn, compat_sort=cfg.compat_sort,
-                ndc_params=ndc_params, merge_impl="twolist",
-                white_bkgd=cfg.white_bkgd, occ_grid=occ_grid,
-                occ_march=cfg.occ_march_steps, extras=extras,
-                prop_params=prop_params(cfg, params),
-                prop_field_fn=prop_fn)
+        def frame_host(params, pose17_row):
+            outs = [jit_chunk(params, rows_d[i], cols_d[i], pose17_row)
+                    for i in range(n_chunks)]
+            shp = (height, width)
             if extras:
-                return out[1], out[2], out[3]
-            return out[1]
+                cat = lambda j: np.concatenate(
+                    [np.asarray(o[j]) for o in outs])[:num_pix]
+                return (cat(0).reshape(*shp, 3), cat(1).reshape(shp),
+                        cat(2).reshape(shp))
+            c_fine = np.concatenate([np.asarray(o) for o in outs])
+            return c_fine[:num_pix].reshape(*shp, 3)
 
-        out = jax.lax.map(one_chunk, (rows_d, cols_d))  # (n_chunks, chunk, *)
+        return frame_host
+
+    def frame(params, pose17_row):
+        out = jax.lax.map(lambda rc: chunk_body(params, rc[0], rc[1],
+                                                pose17_row),
+                          (rows_d, cols_d))  # (n_chunks, chunk, *)
         if extras:
             c_fine, depth, acc = out
             shp = (height, width)
