@@ -9,6 +9,7 @@ reference crashes on both calls, SURVEY.md Q1; fixed here per decision D1).
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main() -> None:
@@ -26,6 +27,14 @@ def main() -> None:
     parser.add_argument("--depth", action="store_true",
                         help="also write per-view depth + opacity maps")
     args = parser.parse_args()
+
+    if os.environ.get("TINYNERF_FORCE_CPU"):
+        # smoke runs without TPU access: the image's site hook pins
+        # jax_platforms=axon regardless of JAX_PLATFORMS, so the config
+        # API is the only reliable override (tests/conftest.py does the
+        # same for the suite)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from tinynerf.config import load_config
     from tinynerf.parallel.distributed import maybe_initialize

@@ -94,12 +94,29 @@ def _artifact_files(out_dir: str):
     return found
 
 
+def _spawn_pair(sync_scene_dir, out0, out1):
+    """Launch + drain the 2-process job; ONE retry when the failure is the
+    gloo TCP context timing out at connect — an infrastructure symptom of
+    this image's single CPU core being oversubscribed (other test
+    processes starving the peer), not a property under test."""
+    import shutil
+
+    for attempt in (1, 2):
+        port = _free_port()
+        p1 = _spawn(sync_scene_dir, out1, 1, 2, port, local_devices=4)
+        p0 = _spawn(sync_scene_dir, out0, 0, 2, port, local_devices=4)
+        try:
+            return _wait_all([p0, p1], ["proc0", "proc1"])
+        except AssertionError as exc:
+            if attempt == 2 or "Gloo context initialization failed" not in str(exc):
+                raise
+            for d in (out0, out1):
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def test_two_process_train_matches_single_process(sync_scene_dir, tmp_path):
-    port = _free_port()
     out0, out1 = str(tmp_path / "proc0"), str(tmp_path / "proc1")
-    p1 = _spawn(sync_scene_dir, out1, 1, 2, port, local_devices=4)
-    p0 = _spawn(sync_scene_dir, out0, 0, 2, port, local_devices=4)
-    _wait_all([p0, p1], ["proc0", "proc1"])
+    _spawn_pair(sync_scene_dir, out0, out1)
 
     r0, r1 = _load(out0, 0), _load(out1, 1)
     assert r0["process_count"] == r1["process_count"] == 2

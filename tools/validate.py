@@ -1,0 +1,144 @@
+"""One-command reproduction of the VALIDATION.md convergence protocol.
+
+Generates the raytraced-spheres capture (tools/make_synthetic_scene.py) if
+absent, writes the protocol INI for a named config family, runs the full
+CLI (train + test-split render + PSNR/SSIM), and emits ONE JSON line with
+the scores and sustained throughput — the row format of VALIDATION.md's
+tables. The reference publishes no numbers (BASELINE.md), so this harness
+IS the evidence chain: every table row in VALIDATION.md is a `validate.py`
+invocation away from re-measurement.
+
+Families (--family):
+  reference  reference semantics (shared coarse/fine net, no extras)
+  proposal   PROPOSAL coarse field (grid prop), fine MLP
+  full       flagship: PROPOSAL + OCC_GRID + WHITE_BKGD         [default]
+  grid       all-grid: FINE_FIELD=grid full stack (lego_grid.ini recipe)
+
+Usage:
+    python tools/validate.py --out /tmp/val --iters 20000
+    python tools/validate.py --family grid --iters 20000 --extra GRID_RES=128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASE = """[spheres]
+IMG_DIR = {scene}/
+RESULTS_PATH = {out}/results/
+CKPT_PATH = {out}/ckpt/
+LOG_DIR = {out}/runs/
+TOTAL_ITER = {iters}
+BATCH_RAY = {batch}
+LEARNING = 5e-4
+N_COARSE = 64
+N_FINE = {n_fine}
+DATA_TYPE = sync
+STEP = {step}
+DECAY_END = 200000
+SCHED = EXP
+CONTINUE = False
+PRECISION = bf16
+"""
+
+FAMILY = {
+    "reference": "",
+    "proposal": "PROPOSAL = True\n",
+    "full": ("PROPOSAL = True\nWHITE_BKGD = True\nOCC_GRID = True\n"
+             "OCC_RES = 64\nOCC_EXTENT = 1.5\nOCC_THRESH = 0.01\n"
+             "OCC_UPDATE_EVERY = 256\nOCC_SUBSET = 0.125\n"),
+    "grid": ("PROPOSAL = True\nWHITE_BKGD = True\nOCC_GRID = True\n"
+             "OCC_RES = 64\nOCC_EXTENT = 1.5\nOCC_THRESH = 0.01\n"
+             "OCC_UPDATE_EVERY = 256\nOCC_SUBSET = 0.125\n"
+             "FINE_FIELD = grid\nGRID_EXTENT = 1.5\nGRID_RES = 256\n"
+             "GRID_COMP_DENSITY = 64\nGRID_COMP_APP = 64\n"
+             "GRID_DECODER_WIDTH = 128\nGRID_LR_MULT = 20\nGRID_TV = 0.1\n"),
+}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--family", choices=sorted(FAMILY), default="full")
+    parser.add_argument("--out", type=str, default="/tmp/tinynerf_val")
+    parser.add_argument("--scene", type=str, default="/tmp/spheres100",
+                        help="capture dir (generated if absent)")
+    parser.add_argument("--hw", type=int, default=100,
+                        help="capture resolution (protocol: 100)")
+    parser.add_argument("--views", type=int, default=100,
+                        help="training views (protocol: 100)")
+    parser.add_argument("--iters", type=int, default=20000)
+    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--n-fine", type=int, default=128)
+    parser.add_argument("--extra", action="append", default=[],
+                        metavar="KEY=VALUE", help="extra INI keys (repeat)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (smoke runs only — "
+                             "protocol numbers are TPU)")
+    args = parser.parse_args()
+
+    if not os.path.isdir(args.scene):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "make_synthetic_scene.py"),
+             args.scene, "--hw", str(args.hw), "--views", str(args.views)],
+            check=True)
+
+    ini = BASE.format(scene=args.scene.rstrip("/"), out=args.out,
+                      iters=args.iters, batch=args.batch,
+                      n_fine=args.n_fine,
+                      step=min(2000, args.iters)) + FAMILY[args.family]
+    for kv in args.extra:
+        key, _, value = kv.partition("=")
+        ini += f"{key} = {value}\n"
+    os.makedirs(args.out, exist_ok=True)
+    ini_path = os.path.join(args.out, "val.ini")
+    with open(ini_path, "w") as fh:
+        fh.write(ini)
+
+    cmd = [sys.executable, os.path.join(REPO, "main.py"),
+           "--conf", ini_path]
+    env = dict(os.environ)
+    if args.cpu:
+        env["TINYNERF_FORCE_CPU"] = "1"  # honored by main.py
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env)
+    rays = []
+    psnr = ssim = None
+    log_path = os.path.join(args.out, "train.log")
+    with open(log_path, "w") as logf:
+        for line in proc.stdout:
+            logf.write(line)
+            sys.stderr.write(line)
+            m = re.search(r"\[RAYS/S\] ([\d,]+)", line)
+            if m:
+                rays.append(float(m.group(1).replace(",", "")))
+            m = re.search(r"Test PSNR: ([\d.]+) dB .*\(SSIM ([\d.]+)\)", line)
+            if m:
+                psnr, ssim = float(m.group(1)), float(m.group(2))
+    rc = proc.wait()
+    if rc != 0:
+        sys.exit(f"training run failed (rc {rc}); log: {log_path}")
+
+    # sustained = median of the per-STEP meter after warmup (first window
+    # carries the compile)
+    sustained = sorted(rays[1:])[len(rays[1:]) // 2] if len(rays) > 1 else (
+        rays[0] if rays else None)
+    print(json.dumps({
+        "family": args.family, "iters": args.iters,
+        "psnr_db": psnr, "ssim": ssim,
+        "sustained_rays_per_sec": sustained,
+        "wall_s": round(time.time() - t0, 1),
+        "ini": ini_path}))
+
+
+if __name__ == "__main__":
+    main()
