@@ -91,13 +91,20 @@ def main() -> None:
              args.scene, "--hw", str(args.hw), "--views", str(args.views)],
             check=True)
 
-    ini = BASE.format(scene=args.scene.rstrip("/"), out=args.out,
-                      iters=args.iters, batch=args.batch,
-                      n_fine=args.n_fine,
-                      step=min(2000, args.iters)) + FAMILY[args.family]
+    # merge base <- family <- --extra as key/value pairs (later wins), so
+    # overrides never produce duplicate INI keys (configparser is strict)
+    pairs: dict = {}
+    base = BASE.format(scene=args.scene.rstrip("/"), out=args.out,
+                       iters=args.iters, batch=args.batch,
+                       n_fine=args.n_fine, step=min(2000, args.iters))
+    for line in (base + FAMILY[args.family]).splitlines():
+        if "=" in line:
+            key, _, value = line.partition("=")
+            pairs[key.strip()] = value.strip()
     for kv in args.extra:
         key, _, value = kv.partition("=")
-        ini += f"{key} = {value}\n"
+        pairs[key.strip()] = value.strip()
+    ini = "[spheres]\n" + "".join(f"{k} = {v}\n" for k, v in pairs.items())
     os.makedirs(args.out, exist_ok=True)
     ini_path = os.path.join(args.out, "val.ini")
     with open(ini_path, "w") as fh:
