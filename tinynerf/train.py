@@ -247,16 +247,26 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
     field_fn = field_fn or make_field_fn(cfg)
     prop_fn = make_prop_field_fn(cfg)
 
+    want_dist = cfg.dist_loss > 0.0
+    if want_dist and not cfg.proposal:
+        raise ValueError("DIST_LOSS requires PROPOSAL=True "
+                         "(see render.distortion_loss)")
+
     def loss_fn(params, batch, key, occ=None):
-        c_co, c_fi = render.render_rays(
+        out = render.render_rays(
             net_params(cfg, params), batch.rows, batch.cols, batch.pose17,
             k_inv, cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
             key=key if cfg.stratified else None,
             compat_sort=cfg.compat_sort, ndc_params=ndc_params,
             white_bkgd=cfg.white_bkgd, occ_grid=occ,
             occ_march=cfg.occ_march_steps,
-            prop_params=prop_params(cfg, params), prop_field_fn=prop_fn)
+            prop_params=prop_params(cfg, params), prop_field_fn=prop_fn,
+            want_dist=want_dist)
+        c_co, c_fi = out[0], out[1]
         loss = render.ray_loss(c_co, c_fi, batch.rgb)
+        if want_dist:
+            # sum over rays, matching the house sum-loss scale (Q14)
+            loss = loss + cfg.dist_loss * jnp.sum(out[2])
         if cfg.fine_field == "grid" and cfg.grid_tv > 0.0:
             from tinynerf.core.gridfield import tv_loss
             loss = loss + cfg.grid_tv * tv_loss(net_params(cfg, params))
