@@ -190,3 +190,25 @@ def test_indexed_step_visits_given_pixels(sync_scene_dir):
     np.testing.assert_array_equal(np.asarray(metrics["pic"]),
                                   np.asarray(idx) // table.pic_size)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_val_metrics_logged_during_training(cfg, capsys):
+    """VAL_METRICS: held-out val-batch PSNR printed + logged at the STEP
+    cadence, on the SAME fixed ray batch each boundary (comparable series)."""
+    import json
+
+    cfg.val_metrics = True
+    runner = Runner(cfg)
+    runner.train("train")
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "[VAL PSNR]" in l]
+    assert len(lines) == cfg.total_iter // cfg.step
+    vals = [float(l.split("]")[1].split("dB")[0]) for l in lines]
+    assert all(np.isfinite(v) and v > 0 for v in vals)
+
+    # and it reached the metrics stream
+    log_dirs = os.listdir(cfg.log_dir)
+    jsonl = os.path.join(cfg.log_dir, log_dirs[0], "metrics.jsonl")
+    with open(jsonl) as fh:
+        rows = [json.loads(l) for l in fh]
+    assert any("psnr/val" in r for r in rows)

@@ -70,6 +70,8 @@ class Config:
     host_feed: bool = False           # C++ host prefetcher instead of HBM table
     profile_steps: int = 0            # capture a jax trace of N initial steps
     white_bkgd: bool = False          # standard NeRF white-background term (opt-in)
+    val_metrics: bool = False         # held-out val-batch PSNR at the STEP
+                                      # logging cadence (single-process runs)
     proposal: bool = False            # narrow proposal net for the coarse pass
                                       # (mip-NeRF-360-style FLOP reduction;
                                       # off = reference-shared single net)
@@ -161,7 +163,7 @@ _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "DIST_LOSS"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
-              "PROPOSAL", "PROP_PALLAS"}
+              "PROPOSAL", "PROP_PALLAS", "VAL_METRICS"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -177,6 +179,7 @@ _KEY_TO_FIELD = {
     "RENDER_CHUNK": "render_chunk",
     "PIXEL_DTYPE": "pixel_dtype", "HOST_FEED": "host_feed",
     "PROFILE_STEPS": "profile_steps", "WHITE_BKGD": "white_bkgd",
+    "VAL_METRICS": "val_metrics",
     "OCC_GRID": "occ_grid", "OCC_RES": "occ_res", "OCC_EXTENT": "occ_extent",
     "OCC_THRESH": "occ_thresh", "OCC_UPDATE_EVERY": "occ_update_every",
     "OCC_SUBSET": "occ_subset", "OCC_MARCH_STEPS": "occ_march_steps",

@@ -117,6 +117,7 @@ class Runner:
         self.logger = (MetricLogger(os.path.join(cfg.log_dir, self.start_time))
                        if self.is_main else NullLogger())
         self._step_fns = {}
+        self._val_eval = None
         # pod runs: bring the collective context up on a trivial program
         # before the first train-step compile (see distributed.barrier)
         dist.barrier("runner_init")
@@ -134,6 +135,40 @@ class Runner:
                     batch_sharding=self.batch_sharding,
                     ndc_params=self.ndc_params)
         return self._step_fns[key]
+
+    def _val_psnr(self) -> float:
+        """Held-out observability metric (``VAL_METRICS``): PSNR of the fine
+        pass over a FIXED val-split ray batch — the same rays every call, so
+        the logged series is comparable across iterations. One extra
+        dispatch per STEP logging boundary (amortized like the preview
+        canvas). Single-process runs only: on a pod every process would
+        have to enter the sharded jit, and this is called from the
+        process-0 artifact block."""
+        from tinynerf.core import render
+        if self._val_eval is None:
+            cfg = self.cfg
+            batch = self.val_table.sample(
+                jax.random.PRNGKey(cfg.seed + 777), cfg.batch_ray)
+            field_fn = trainlib.make_field_fn(cfg)
+            prop_fn = trainlib.make_prop_field_fn(cfg)
+
+            @jax.jit
+            def val_mse(params, occ, b):
+                _c, c_fi = render.render_rays(
+                    trainlib.net_params(cfg, params), b.rows, b.cols,
+                    b.pose17, self.k_inv, cfg.n_coarse, cfg.n_fine,
+                    field_fn=field_fn, compat_sort=cfg.compat_sort,
+                    ndc_params=self.ndc_params, merge_impl="twolist",
+                    white_bkgd=cfg.white_bkgd, occ_grid=occ,
+                    occ_march=cfg.occ_march_steps,
+                    prop_params=trainlib.prop_params(cfg, params),
+                    prop_field_fn=prop_fn)
+                return jnp.mean(jnp.square(c_fi - b.rgb))
+
+            self._val_eval = (val_mse, batch)
+        val_mse, batch = self._val_eval
+        mse = float(val_mse(self.state.params, self.state.occ, batch))
+        return float("inf") if mse == 0.0 else -10.0 * float(np.log10(mse))
 
     def _make_feeder(self, table: RayTable):
         """Native C++ prefetching batch source (big-scene path)."""
@@ -285,6 +320,11 @@ class Runner:
                       f"[T] ({c_t[0]:.4f} {c_t[1]:.4f} {c_t[2]:.4f}) "
                       f"[F] ({c_f[0]:.4f} {c_f[1]:.4f} {c_f[2]:.4f}) "
                       f"[RAYS/S] {rate:,.0f}")
+                if (mode == "train" and cfg.val_metrics
+                        and not self.multiprocess):
+                    val_psnr = self._val_psnr()
+                    print(f"[VAL PSNR] {val_psnr:.2f} dB")
+                    self.logger.log(it - 1, {"psnr/val": val_psnr})
                 self.logger.flush()
                 if mode == "train" and self.is_main:
                     # process-0 owns the preview + checkpoint artifacts; on a
