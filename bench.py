@@ -104,10 +104,12 @@ def main() -> None:
                         choices=["train", "render"],
                         help="train rays/sec (default) or 800x800 sec/frame")
     parser.add_argument("--host-chunks", action="store_true",
-                        help="render metric via the serving path (one "
-                             "compiled program per pixel chunk, host loop) "
-                             "— also reports time-to-first-frame on stderr")
+                        help="render metric only: measure the serving path "
+                             "(one compiled program per pixel chunk, host "
+                             "loop) instead of the whole-frame program")
     args = parser.parse_args()
+    if args.host_chunks and args.metric != "render":
+        parser.error("--host-chunks only applies to --metric render")
 
     import jax
 

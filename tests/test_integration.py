@@ -212,3 +212,13 @@ def test_val_metrics_logged_during_training(cfg, capsys):
     with open(jsonl) as fh:
         rows = [json.loads(l) for l in fh]
     assert any("psnr/val" in r for r in rows)
+
+
+def test_val_psnr_works_on_host_feed_table(cfg):
+    """VAL_METRICS must not depend on device-resident pixels: HOST_FEED
+    tables (device_pixels=False) build the fixed val batch host-side."""
+    cfg.host_feed = True
+    cfg.val_metrics = True
+    runner = Runner(cfg)
+    v = runner._val_psnr()
+    assert np.isfinite(v) and v > 0

@@ -131,6 +131,11 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
         return out[1]
 
     if host_chunks:
+        if jax.process_count() > 1:
+            raise ValueError(
+                "host_chunks frame mode is single-process (the serving "
+                "path passes process-local chunk arrays into the jit); pod "
+                "renders use the whole-frame lax.map path")
         # Host-loop variant: ONE compiled program per pixel CHUNK instead of
         # per frame. Steady-state is slower (a dispatch per chunk — ~22 ms
         # each through the remote TPU tunnel), but time-to-first-frame drops
@@ -172,11 +177,15 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
     return jax.jit(frame)
 
 
-def psnr(pred: np.ndarray, target: np.ndarray) -> float:
-    mse = float(np.mean((pred - target) ** 2))
+def mse_to_db(mse: float) -> float:
+    """Mean-squared error ([0,1]-range signal) -> PSNR dB."""
     if mse == 0:
         return float("inf")
     return -10.0 * float(np.log10(mse))
+
+
+def psnr(pred: np.ndarray, target: np.ndarray) -> float:
+    return mse_to_db(float(np.mean((pred - target) ** 2)))
 
 
 def ssim(pred: np.ndarray, target: np.ndarray, sigma: float = 1.5,

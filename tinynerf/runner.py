@@ -147,8 +147,22 @@ class Runner:
         from tinynerf.core import render
         if self._val_eval is None:
             cfg = self.cfg
-            batch = self.val_table.sample(
-                jax.random.PRNGKey(cfg.seed + 777), cfg.batch_ray)
+            # host-side batch construction: works for BOTH device-pixel and
+            # host-feed (device_pixels=False) tables, where .sample raises
+            table = self.val_table
+            rng = np.random.default_rng(cfg.seed + 777)
+            idx = rng.integers(0, table.num_pix, cfg.batch_ray)
+            pic = (idx // table.pic_size).astype(np.int32)
+            in_pic = idx % table.pic_size
+            flat = table.host_pixels[idx]
+            if table.pixel_dtype == "u8":
+                flat = flat.astype(np.float32) * (1.0 / 255.0)
+            batch = RayBatch(
+                rows=jnp.asarray((in_pic // table.width).astype(np.float32)),
+                cols=jnp.asarray((in_pic % table.width).astype(np.float32)),
+                rgb=jnp.asarray(flat.astype(np.float32)),
+                pose17=jnp.asarray(np.asarray(table.poses)[pic]),
+                pic=jnp.asarray(pic))
             field_fn = trainlib.make_field_fn(cfg)
             prop_fn = trainlib.make_prop_field_fn(cfg)
 
@@ -167,8 +181,8 @@ class Runner:
 
             self._val_eval = (val_mse, batch)
         val_mse, batch = self._val_eval
-        mse = float(val_mse(self.state.params, self.state.occ, batch))
-        return float("inf") if mse == 0.0 else -10.0 * float(np.log10(mse))
+        return evallib.mse_to_db(
+            float(val_mse(self.state.params, self.state.occ, batch)))
 
     def _make_feeder(self, table: RayTable):
         """Native C++ prefetching batch source (big-scene path)."""

@@ -72,6 +72,11 @@ _PAGE = """<!doctype html>
 </script></body></html>"""
 
 
+# client scale values snap to this set: bounds the compiled-program cache
+# (one XLA program per distinct frame resolution) at 5 entries
+_SCALES = (0.125, 0.25, 0.5, 1.0, 2.0)
+
+
 class _Service:
     """Checkpoint + per-resolution compiled frame renderers."""
 
@@ -116,12 +121,29 @@ class _Service:
                 host_chunks=self.host_chunks)
         return self._frame_fns[(h, w)]
 
+    def rig_elev_deg(self) -> float:
+        """Training rig's mean elevation in degrees (sync scenes; 0 for
+        llff, where the slider indexes the spiral instead)."""
+        import numpy as np
+        if self.cfg.data_type == "llff":
+            return 0.0
+        from tinynerf.data.paths import _orbit_geometry
+        return float(np.rad2deg(_orbit_geometry(self._rows())[1]))
+
     def render_jpeg(self, theta: float, elev, radius: float,
                     scale: float) -> bytes:
         import numpy as np
         import jax.numpy as jnp
         from PIL import Image
 
+        # snap to the fixed scale ladder (bounded compile cache), then
+        # refuse degenerate frames (h*scale < 4 px)
+        scale = min(_SCALES, key=lambda s: abs(s - scale))
+        h0 = min(self.runner.train_table.height,
+                 self.runner.train_table.width)
+        if int(h0 * scale) < 4:
+            raise ValueError(f"scale {scale} gives a {int(h0 * scale)}px "
+                             f"frame; minimum is 4px")
         row = self.pose(theta, elev, radius, scale)
         hwf = row[:15].reshape(3, 5)[:, 4]
         with self.lock:
@@ -175,8 +197,11 @@ def _make_handler(svc: _Service):
             try:
                 if url.path == "/":
                     info = svc.info()
+                    # slider starts at the rig's mean elevation — the same
+                    # viewpoint the parameterless first /frame renders
                     page = _PAGE.format(scene=info["scene"],
-                                        it=info["iteration"], elev=0)
+                                        it=info["iteration"],
+                                        elev=round(svc.rig_elev_deg()))
                     self._send(200, "text/html", page.encode())
                 elif url.path == "/info":
                     self._send(200, "application/json",
@@ -193,6 +218,8 @@ def _make_handler(svc: _Service):
                     self._send(404, "text/plain", b"not found")
             except BrokenPipeError:
                 pass
+            except ValueError as exc:  # client-input errors (e.g. degenerate scale)
+                self._send(400, "text/plain", str(exc).encode())
             except Exception as exc:  # surface render errors to the client
                 self._send(500, "text/plain", repr(exc).encode())
 
