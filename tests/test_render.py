@@ -324,3 +324,89 @@ def test_dist_loss_training_wiring():
         trainlib.make_loss_fn(Config(batch_ray=8, n_coarse=8, n_fine=8,
                                      use_pallas=False, dist_loss=0.01),
                               k_inv)
+
+
+def test_interlevel_loss_matches_bruteforce():
+    """(B, N_f, N_c)-mask matmul form == a naive python-loop overlap sum."""
+    rng = np.random.default_rng(5)
+    B, Nc, Nf = 3, 6, 9
+    t_p = np.sort(rng.uniform(2, 6, (B, Nc)), axis=1).astype(np.float32)
+    t_f = np.sort(rng.uniform(2, 6, (B, Nf)), axis=1).astype(np.float32)
+    w_p = rng.uniform(0, 0.2, (B, Nc)).astype(np.float32)
+    w_f = rng.uniform(0, 0.2, (B, Nf)).astype(np.float32)
+
+    got = np.asarray(render.interlevel_loss(
+        jnp.asarray(t_p), jnp.asarray(w_p),
+        jnp.asarray(t_f), jnp.asarray(w_f)))
+
+    tail = render.TAIL_DELTA
+    expected = np.zeros(B)
+    for b in range(B):
+        p_lo, p_hi = t_p[b], np.append(t_p[b][1:], t_p[b][-1] + tail)
+        f_lo, f_hi = t_f[b], np.append(t_f[b][1:], t_f[b][-1] + tail)
+        for i in range(Nf):
+            outer = sum(w_p[b, j] for j in range(Nc)
+                        if p_hi[j] > f_lo[i] and p_lo[j] < f_hi[i])
+            excess = max(0.0, w_f[b, i] - outer)
+            expected[b] += excess ** 2 / (w_f[b, i] + 1e-7)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-7)
+
+
+def test_interlevel_loss_zero_when_prop_covers():
+    """A proposal histogram that everywhere dominates the fine weights
+    incurs zero loss (the penalty is one-sided), and gradients NEVER flow
+    into the fine weights (the paper's stop-gradient asymmetry)."""
+    B, N = 2, 8
+    t = jnp.tile(jnp.linspace(2.0, 6.0, N)[None], (B, 1))
+    w_f = jnp.full((B, N), 0.05)
+    w_p = jnp.full((B, N), 0.5)  # dominates every overlap sum
+    loss = render.interlevel_loss(t, w_p, t, w_f)
+    np.testing.assert_allclose(np.asarray(loss), 0.0, atol=1e-8)
+
+    # under-coverage -> positive, d/dw_p nonzero, d/dw_f identically zero
+    w_p_low = jnp.zeros((B, N))
+    total = lambda wp, wf: jnp.sum(render.interlevel_loss(t, wp, t, wf))
+    assert float(total(w_p_low, w_f)) > 0
+    g_p = jax.grad(total, argnums=0)(w_p_low, w_f)
+    g_f = jax.grad(total, argnums=1)(w_p_low, w_f)
+    assert float(jnp.sum(jnp.abs(g_p))) > 0
+    np.testing.assert_allclose(np.asarray(g_f), 0.0)
+
+
+def test_interlevel_training_wiring():
+    """PROP_INTERLEVEL>0: loss finite and >= the unregularized loss; grads
+    reach the proposal leaves; refuses without PROPOSAL."""
+    import pytest
+    from tinynerf import train as trainlib
+    from tinynerf.config import Config
+    from tinynerf.data.rays import RayBatch
+
+    kw = dict(batch_ray=8, n_coarse=8, n_fine=8, use_pallas=False,
+              proposal=True, prop_field="grid", prop_grid_res=8,
+              prop_grid_comp_density=4, prop_grid_comp_app=4,
+              prop_grid_decoder_width=8)
+    cfg = Config(**kw, prop_interlevel=1.0)
+    k_inv = make_k_inv(12.0, 12.0, 14.0)
+    rng = np.random.default_rng(4)
+    batch = RayBatch(
+        rows=jnp.asarray(rng.uniform(0, 11, 8).astype(np.float32)),
+        cols=jnp.asarray(rng.uniform(0, 11, 8).astype(np.float32)),
+        pose17=jnp.asarray(np.tile(
+            np.asarray(_pose17(np.eye(4), 12, 12, 14.0, 2.0, 6.0)), (8, 1))),
+        rgb=jnp.asarray(rng.uniform(0, 1, (8, 3)).astype(np.float32)),
+        pic=jnp.zeros((8,), jnp.int32))
+    params = trainlib.init_state(cfg).params
+    key = jax.random.PRNGKey(0)
+
+    l_plain = float(trainlib.make_loss_fn(
+        Config(**kw), k_inv)(params, batch, key)[0])
+    (l_il, _), grads = jax.value_and_grad(
+        trainlib.make_loss_fn(cfg, k_inv), has_aux=True)(params, batch, key)
+    assert np.isfinite(float(l_il)) and float(l_il) >= l_plain
+    g_prop = jax.tree_util.tree_leaves(grads["prop"])
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in g_prop)
+
+    with pytest.raises(ValueError, match="PROPOSAL"):
+        trainlib.make_loss_fn(Config(batch_ray=8, n_coarse=8, n_fine=8,
+                                     use_pallas=False, prop_interlevel=1.0),
+                              k_inv)

@@ -113,6 +113,9 @@ class Config:
     grid_tv: float = 0.0              # total-variation weight on the lines
     dist_loss: float = 0.0            # mip-360 distortion regularizer weight
                                       # on the fine weights (needs PROPOSAL)
+    prop_interlevel: float = 0.0      # mip-360 interlevel loss weight
+                                      # (prop histogram consistency;
+                                      # needs PROPOSAL)
     grid_upsample: str = ""           # coarse-to-fine line-resolution
                                       # schedule, "iter:res,iter:res" (e.g.
                                       # "2000:384,4000:512"): before step
@@ -160,7 +163,7 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "PROP_GRID_COMP_APP", "PROP_GRID_DECODER_WIDTH"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET", "GRID_EXTENT", "GRID_LR_MULT", "GRID_TV",
-               "DIST_LOSS"}
+               "DIST_LOSS", "PROP_INTERLEVEL"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
               "PROPOSAL", "PROP_PALLAS", "VAL_METRICS"}
@@ -193,6 +196,7 @@ _KEY_TO_FIELD = {
     "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
     "GRID_LOOKUP": "grid_lookup", "GRID_PALLAS": "grid_pallas",
     "GRID_UPSAMPLE": "grid_upsample", "DIST_LOSS": "dist_loss",
+    "PROP_INTERLEVEL": "prop_interlevel",
     "PROP_FIELD": "prop_field", "PROP_GRID_RES": "prop_grid_res",
     "PROP_GRID_COMP_DENSITY": "prop_grid_comp_density",
     "PROP_GRID_COMP_APP": "prop_grid_comp_app",

@@ -188,6 +188,7 @@ def render_rays(params: mlp.Params,
                 prop_params=None,
                 prop_field_fn: Optional[FieldFn] = None,
                 want_dist: bool = False,
+                want_interlevel: bool = False,
                 ):
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
 
@@ -233,19 +234,19 @@ def render_rays(params: mlp.Params,
       samples do not enter the final image, so the proposal's capacity
       bounds sample PLACEMENT, never rendered quality.
     """
-    if want_dist and prop_params is None:
+    if (want_dist or want_interlevel) and prop_params is None:
         raise ValueError(
-            "DIST_LOSS requires PROPOSAL=True: the distortion regularizer "
-            "is defined on the standalone fine-pass weights, which only "
-            "exist under the proposal composite")
+            "DIST_LOSS / PROP_INTERLEVEL require PROPOSAL=True: both are "
+            "defined on the standalone fine-pass weights (and the proposal "
+            "histogram), which only exist under the proposal composite")
     if prop_params is not None:
         if n_fine == 0:
             raise ValueError(
                 "PROPOSAL with N_FINE=0 would train/render ONLY the narrow "
                 "proposal net (the main network never evaluates) — use "
                 "PROPOSAL=False for coarse-only runs.")
-        if want_dist and extras:
-            raise ValueError("want_dist and extras are mutually exclusive")
+        if (want_dist or want_interlevel) and extras:
+            raise ValueError("aux losses and extras are mutually exclusive")
         if compat_sort:
             raise ValueError(
                 "PROPOSAL is incompatible with COMPAT_SORT: the proposal "
@@ -336,9 +337,14 @@ def render_rays(params: mlp.Params,
             depth = (jnp.sum(dense_fi * t_fi, axis=1)
                      / jnp.maximum(acc_fi, 1e-10))
             return c_coarse, c_fine, depth, acc_fi
-        if want_dist:
-            return c_coarse, c_fine, distortion_loss(t_fi, dense_fi,
-                                                     near, far)
+        if want_dist or want_interlevel:
+            aux = {}
+            if want_dist:
+                aux["dist"] = distortion_loss(t_fi, dense_fi, near, far)
+            if want_interlevel:
+                aux["interlevel"] = interlevel_loss(t_co, dense_co,
+                                                    t_fi, dense_fi)
+            return c_coarse, c_fine, aux
         return c_coarse, c_fine
 
     cat = lambda a, b: jnp.concatenate([a, b], axis=1)
@@ -428,3 +434,36 @@ def distortion_loss(t: jnp.ndarray, weights: jnp.ndarray,
     pairwise = 2.0 * jnp.sum(w * (s * cw - csw), axis=1)
     intra = jnp.sum(jnp.square(w) * ds, axis=1) / 3.0
     return pairwise + intra
+
+
+def interlevel_loss(t_prop: jnp.ndarray, w_prop: jnp.ndarray,
+                    t_fine: jnp.ndarray, w_fine: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray mip-NeRF-360 interlevel (proposal) loss (Barron et al. 2022,
+    Eq. 13-14), opt-in via ``PROP_INTERLEVEL``: penalizes the proposal
+    histogram wherever it UNDER-covers the fine-pass weights,
+
+        L = sum_i relu(w_i - outer_i)^2 / (w_i + eps)
+
+    where ``outer_i`` is the total proposal mass of every proposal interval
+    overlapping fine interval ``i``, and ``w_i`` is stop-gradient'd — the
+    loss trains the PROPOSAL only (the fine field never sees it), exactly
+    the asymmetry of the paper. Intervals derive from consecutive sample
+    positions with the compositor's own tail convention (``TAIL_DELTA``),
+    matching the histograms the weights were computed over.
+
+    TPU-native: the interval-overlap test is a broadcasted compare whose
+    (B, N_f, N_c) mask feeds one batched matmul (``outer = mask @ w_prop``)
+    — the same compare+mask-matmul shape as ``merged_composite``'s
+    cross-list prefix mass; no searchsorted/gather anywhere."""
+    hi = lambda t: jnp.concatenate(
+        [t[:, 1:], t[:, -1:] + TAIL_DELTA], axis=1)
+    p_lo, p_hi = t_prop, hi(t_prop)
+    f_lo, f_hi = t_fine, hi(t_fine)
+    w_fine = jax.lax.stop_gradient(w_fine)
+    mask = jnp.logical_and(
+        p_hi[:, None, :] > f_lo[:, :, None],
+        p_lo[:, None, :] < f_hi[:, :, None]).astype(w_prop.dtype)
+    outer = jnp.einsum("bij,bj->bi", mask, w_prop,
+                       precision=jax.lax.Precision.HIGHEST)
+    excess = jax.nn.relu(w_fine - outer)
+    return jnp.sum(excess * excess / (w_fine + 1e-7), axis=1)

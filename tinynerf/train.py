@@ -248,9 +248,10 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
     prop_fn = make_prop_field_fn(cfg)
 
     want_dist = cfg.dist_loss > 0.0
-    if want_dist and not cfg.proposal:
-        raise ValueError("DIST_LOSS requires PROPOSAL=True "
-                         "(see render.distortion_loss)")
+    want_il = cfg.prop_interlevel > 0.0
+    if (want_dist or want_il) and not cfg.proposal:
+        raise ValueError("DIST_LOSS / PROP_INTERLEVEL require PROPOSAL=True "
+                         "(see render.distortion_loss / interlevel_loss)")
 
     def loss_fn(params, batch, key, occ=None):
         out = render.render_rays(
@@ -261,12 +262,14 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             white_bkgd=cfg.white_bkgd, occ_grid=occ,
             occ_march=cfg.occ_march_steps,
             prop_params=prop_params(cfg, params), prop_field_fn=prop_fn,
-            want_dist=want_dist)
+            want_dist=want_dist, want_interlevel=want_il)
         c_co, c_fi = out[0], out[1]
         loss = render.ray_loss(c_co, c_fi, batch.rgb)
         if want_dist:
             # sum over rays, matching the house sum-loss scale (Q14)
-            loss = loss + cfg.dist_loss * jnp.sum(out[2])
+            loss = loss + cfg.dist_loss * jnp.sum(out[2]["dist"])
+        if want_il:
+            loss = loss + cfg.prop_interlevel * jnp.sum(out[2]["interlevel"])
         if cfg.fine_field == "grid" and cfg.grid_tv > 0.0:
             from tinynerf.core.gridfield import tv_loss
             loss = loss + cfg.grid_tv * tv_loss(net_params(cfg, params))
