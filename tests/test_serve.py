@@ -99,6 +99,13 @@ def test_serve_render_frames(tmp_path):
             base + "/frame?theta=90&scale=0.5", timeout=120).read()
         assert Image.open(io.BytesIO(jpg2)).size == (6, 6)
 
+        # diagnostics views: depth/acc render grayscale via the extras path
+        dep = urllib.request.urlopen(
+            base + "/frame?theta=90&scale=0.5&view=depth",
+            timeout=600).read()
+        img_d = Image.open(io.BytesIO(dep))
+        assert img_d.size == (6, 6) and img_d.mode == "L"
+
         with pytest.raises(urllib.error.HTTPError) as err:
             urllib.request.urlopen(base + "/nope", timeout=60)
         assert err.value.code == 404

@@ -52,15 +52,18 @@ _PAGE = """<!doctype html>
 <div class="row"><label>scale</label>
  <select id="scale"><option>0.125</option><option selected>0.25</option>
  <option>0.5</option><option>1.0</option></select></div>
+<div class="row"><label>view</label>
+ <select id="view"><option selected>rgb</option><option>depth</option>
+ <option>acc</option></select></div>
 <script>
- const ids = ["theta", "elev", "radius", "scale"];
+ const ids = ["theta", "elev", "radius", "scale", "view"];
  let busy = false, dirty = false;
  function refresh() {{
    if (busy) {{ dirty = true; return; }}
    busy = true;
    const q = new URLSearchParams({{
      theta: theta.value, elev: elev.value,
-     radius: radius.value / 100, scale: scale.value }});
+     radius: radius.value / 100, scale: scale.value, view: view.value }});
    const img = new Image();
    img.onload = () => {{ v.src = img.src; busy = false;
                          if (dirty) {{ dirty = false; refresh(); }} }};
@@ -106,20 +109,21 @@ class _Service:
         return paths.orbit_pose(self._rows(), theta, elev_deg=elev,
                                 radius_scale=radius, res_scale=scale)
 
-    def frame_fn(self, hwf):
+    def frame_fn(self, hwf, extras: bool = False):
         from tinynerf import eval as evallib
         from tinynerf.core.rays import make_k_inv
         h, w = int(hwf[0]), int(hwf[1])
-        if (h, w) not in self._frame_fns:
+        key = (h, w, extras)
+        if key not in self._frame_fns:
             k_inv = make_k_inv(float(hwf[0]), float(hwf[1]), float(hwf[2]))
-            self._frame_fns[(h, w)] = evallib.make_frame_fn(
+            self._frame_fns[key] = evallib.make_frame_fn(
                 self.cfg, k_inv, h, w, ndc_params=self.runner.ndc_params,
                 batch_sharding=self.runner.batch_sharding,
-                occ_grid=self.runner.state.occ,
+                occ_grid=self.runner.state.occ, extras=extras,
                 # serving wants time-to-first-frame: per-chunk programs
                 # sidestep the whole-frame compile blowup under PROPOSAL
                 host_chunks=self.host_chunks)
-        return self._frame_fns[(h, w)]
+        return self._frame_fns[key]
 
     def rig_elev_deg(self) -> float:
         """Training rig's mean elevation in degrees (sync scenes; 0 for
@@ -131,7 +135,7 @@ class _Service:
         return float(np.rad2deg(_orbit_geometry(self._rows())[1]))
 
     def render_jpeg(self, theta: float, elev, radius: float,
-                    scale: float) -> bytes:
+                    scale: float, view: str = "rgb") -> bytes:
         import numpy as np
         import jax.numpy as jnp
         from PIL import Image
@@ -146,10 +150,25 @@ class _Service:
                              f"frame; minimum is 4px")
         row = self.pose(theta, elev, radius, scale)
         hwf = row[:15].reshape(3, 5)[:, 4]
+        extras = view in ("depth", "acc")
         with self.lock:
-            fn = self.frame_fn(hwf)
-            frame = np.asarray(fn(self.runner.state.params, jnp.asarray(row)))
-        u8 = (np.clip(frame, 0.0, 1.0) * 255.0).astype(np.uint8)
+            fn = self.frame_fn(hwf, extras=extras)
+            out = fn(self.runner.state.params, jnp.asarray(row))
+        if extras:
+            rgb, depth, acc = (np.asarray(o) for o in out)
+            if view == "depth":
+                # near/far-normalized expected termination (white = near),
+                # matching the --depth export convention (eval.py)
+                near, far = ((0.0, 1.0) if self.runner.ndc_params is not None
+                             else (float(row[15]), float(row[16])))
+                dn = np.clip((depth - near) / max(far - near, 1e-6), 0.0, 1.0)
+                frame = 1.0 - dn
+            else:
+                frame = np.clip(acc, 0.0, 1.0)
+            u8 = (frame * 255.0).astype(np.uint8)
+        else:
+            u8 = (np.clip(np.asarray(out), 0.0, 1.0) * 255.0
+                  ).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(u8).save(buf, "JPEG", quality=90)
         return buf.getvalue()
@@ -207,12 +226,16 @@ def _make_handler(svc: _Service):
                     self._send(200, "application/json",
                                json.dumps(svc.info()).encode())
                 elif url.path == "/frame":
+                    view = q.get("view", ["rgb"])[0]
+                    if view not in ("rgb", "depth", "acc"):
+                        raise ValueError(f"view={view!r}: rgb|depth|acc")
                     jpg = svc.render_jpeg(
                         theta=num("theta", 0.0, 0.0, 360.0),
                         elev=(num("elev", 0.0, -80.0, 80.0)
                               if "elev" in q else None),
                         radius=num("radius", 1.0, 0.3, 3.0),
-                        scale=num("scale", 0.25, 0.05, 2.0))
+                        scale=num("scale", 0.25, 0.05, 2.0),
+                        view=view)
                     self._send(200, "image/jpeg", jpg)
                 else:
                     self._send(404, "text/plain", b"not found")
