@@ -26,6 +26,10 @@ def main() -> None:
                         help="resolution multiplier for --mode=path")
     parser.add_argument("--depth", action="store_true",
                         help="also write per-view depth + opacity maps")
+    parser.add_argument("--host-chunks", action="store_true",
+                        help="render frames via the per-chunk host loop "
+                             "(seconds to first frame; avoids the one-time "
+                             "whole-frame XLA compile under PROPOSAL)")
     args = parser.parse_args()
 
     if os.environ.get("TINYNERF_FORCE_CPU"):
@@ -60,10 +64,11 @@ def main() -> None:
     if args.mode in ("all", "train"):
         runner.train("train")
     if args.mode in ("all", "display"):
-        runner.display(depth=args.depth)
+        runner.display(depth=args.depth, host_chunks=args.host_chunks)
     if args.mode == "path":
         runner.render_path_video(n_views=args.path_views,
-                                 res_scale=args.path_scale)
+                                 res_scale=args.path_scale,
+                                 host_chunks=args.host_chunks)
 
 
 if __name__ == "__main__":

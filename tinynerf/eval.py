@@ -213,20 +213,26 @@ def render_test_set(cfg: Config, params: Any, table: RayTable,
                     last_iter: int, field_fn=None,
                     save: bool = True, max_views: Optional[int] = None,
                     ndc_params=None, batch_sharding=None,
-                    occ_grid=None, depth: bool = False) -> np.ndarray:
+                    occ_grid=None, depth: bool = False,
+                    host_chunks: bool = False) -> np.ndarray:
     """Render every view of ``table`` in order; optionally write per-view JPGs
     under ``results_path/<start_time>/`` and an mp4 at 30 fps (reference
     ``nerf.py:523-530``). Returns the (N, H, W, 3) stack.
 
     ``depth=True`` additionally writes ``<pic>_depth.jpg`` (expected
     termination distance, near/far-normalized) and ``<pic>_acc.jpg``
-    (accumulated opacity) per view — standard NeRF diagnostics."""
+    (accumulated opacity) per view — standard NeRF diagnostics.
+
+    ``host_chunks=True`` selects the per-chunk host-loop frame program
+    (seconds to first frame instead of the one-time whole-frame XLA
+    compile, which runs minutes under PROPOSAL — see make_frame_fn)."""
     from tinynerf.parallel.distributed import is_main_process
     save = save and is_main_process()  # pod runs: process 0 owns artifacts
     frame_fn = make_frame_fn(cfg, k_inv, table.height, table.width,
                              field_fn=field_fn, ndc_params=ndc_params,
                              batch_sharding=batch_sharding,
-                             occ_grid=occ_grid, extras=depth)
+                             occ_grid=occ_grid, extras=depth,
+                             host_chunks=host_chunks)
     n_views = table.num_pics if max_views is None else min(max_views, table.num_pics)
     frames = np.empty((n_views, table.height, table.width, 3), np.float32)
     if depth:
@@ -278,7 +284,7 @@ def render_path(cfg: Config, params: Any, pose_rows: np.ndarray,
                 k_inv: jnp.ndarray, out_base: str, field_fn=None,
                 fps: int = 30, save: bool = True,
                 ndc_params=None, batch_sharding=None,
-                occ_grid=None) -> np.ndarray:
+                occ_grid=None, host_chunks: bool = False) -> np.ndarray:
     """Render an arbitrary camera path (spiral/orbit, ``tinynerf/data/paths``)
     to a video. Frame size comes from each pose row's h/w columns, so
     res-scaled paths (e.g. 1600x1600 spiral) work unchanged; ``k_inv`` must
@@ -296,7 +302,7 @@ def render_path(cfg: Config, params: Any, pose_rows: np.ndarray,
     frame_fn = make_frame_fn(cfg, k_inv, height, width, field_fn=field_fn,
                              ndc_params=ndc_params,
                              batch_sharding=batch_sharding,
-                             occ_grid=occ_grid)
+                             occ_grid=occ_grid, host_chunks=host_chunks)
     frames = np.empty((pose_rows.shape[0], height, width, 3), np.float32)
     for i in range(pose_rows.shape[0]):
         frames[i] = np.asarray(frame_fn(params, jnp.asarray(pose_rows[i])))

@@ -115,9 +115,11 @@ def _grid_coords(pts, ext, res):
 
 def _hat(xg_col, res, dtype):
     """(rows, 1) grid coords -> (rows, res) hat-basis weights, built in VMEM
-    from a broadcasted iota (f32 compare — no bf16 compares on TPU)."""
+    from a broadcasted iota (f32 compare — no bf16 compares on TPU).
+    Mosaic only lowers integer iota ('tpu.iota' rejects float results),
+    so build int32 and convert."""
     rows = xg_col.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.float32, (rows, res), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (rows, res), 1).astype(jnp.float32)
     return jax.nn.relu(1.0 - jnp.abs(xg_col - idx)).astype(dtype)
 
 
@@ -250,7 +252,8 @@ def _bwd_kernel(*refs, dtype, nd):
     # ---- per-axis table grads + coordinate grads ----
     pair = (feats[1] * feats[2], feats[0] * feats[2], feats[0] * feats[1])
     dtab_refs = (dtx_ref, dty_ref, dtz_ref)
-    idx = jax.lax.broadcasted_iota(jnp.float32, (rows, res), 1)
+    # int32 iota -> f32: Mosaic's 'tpu.iota' rejects float results.
+    idx = jax.lax.broadcasted_iota(jnp.int32, (rows, res), 1).astype(jnp.float32)
     dpts = []
     for a in range(3):
         dfa = dprod * pair[a]                               # (rows, F) dtype

@@ -378,15 +378,17 @@ class Runner:
         return 1
 
     def display(self, max_views: Optional[int] = None,
-                depth: bool = False) -> float:
+                depth: bool = False, host_chunks: bool = False) -> float:
         """Full-frame render of the test split -> JPGs + mp4; returns PSNR.
-        ``depth=True`` also writes per-view depth + opacity maps."""
+        ``depth=True`` also writes per-view depth + opacity maps;
+        ``host_chunks=True`` renders via the per-chunk serving program
+        (fast first frame, no whole-frame compile)."""
         print("Start generating video...")
         frames = evallib.render_test_set(
             self.cfg, self.state.params, self.test_table, self.k_inv,
             self.start_time, self.last_iter, save=True, max_views=max_views,
             ndc_params=self.ndc_params, batch_sharding=self.batch_sharding,
-            occ_grid=self.state.occ, depth=depth)
+            occ_grid=self.state.occ, depth=depth, host_chunks=host_chunks)
         score = evallib.test_psnr(frames, self.test_table)
         ssim_score = evallib.test_ssim(frames, self.test_table)
         print(f"Test PSNR: {score:.2f} dB over {frames.shape[0]} views "
@@ -394,7 +396,8 @@ class Runner:
         return score
 
     def render_path_video(self, n_views: int = 120,
-                          res_scale: float = 1.0) -> None:
+                          res_scale: float = 1.0,
+                          host_chunks: bool = False) -> None:
         """Free-viewpoint video along a scene-appropriate camera path
         (spiral for llff, 360-degree orbit for sync). ``res_scale=2`` renders
         e.g. a 1600x1600-class spiral from 800-class training intrinsics."""
@@ -411,4 +414,5 @@ class Runner:
         evallib.render_path(self.cfg, self.state.params, pose_rows, k_inv,
                             out_base, ndc_params=self.ndc_params,
                             batch_sharding=self.batch_sharding,
-                            occ_grid=self.state.occ)
+                            occ_grid=self.state.occ,
+                            host_chunks=host_chunks)
