@@ -59,6 +59,17 @@ class Config:
     compat_sort: bool = False         # reproduce reference's per-channel sort (Q4)
     stratified: bool = False          # jittered coarse samples (off = reference Q7)
     ndc: bool = False                 # NDC warp for llff (opt-in, north-star config)
+    contract: bool = False            # mip-360 scene contraction for
+                                      # unbounded 360 captures: world points
+                                      # warp into the radius-2 ball before
+                                      # the field evaluates (core/contract
+                                      # .py; set GRID_EXTENT=2 with the grid
+                                      # family). Forces the XLA point-
+                                      # interface field path.
+    lindisp: bool = False             # disparity-linear coarse samples for
+                                      # unbounded depth ranges (per-bin
+                                      # densities/CDF slopes; needs near>0;
+                                      # incompatible with NDC)
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all local
     sample_shard: int = 0             # >1: shard the FINE sample axis over a
                                       # 2-D (data x sample) mesh for deep
@@ -166,7 +177,8 @@ _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "DIST_LOSS", "PROP_INTERLEVEL"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
-              "PROPOSAL", "PROP_PALLAS", "VAL_METRICS"}
+              "PROPOSAL", "PROP_PALLAS", "VAL_METRICS", "CONTRACT",
+              "LINDISP"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -178,6 +190,7 @@ _KEY_TO_FIELD = {
     "SEED": "seed", "PRECISION": "precision", "USE_PALLAS": "use_pallas",
     "FUSED_RENDER": "fused_render",
     "COMPAT_SORT": "compat_sort", "STRATIFIED": "stratified", "NDC": "ndc",
+    "CONTRACT": "contract", "LINDISP": "lindisp",
     "MESH_SHAPE": "mesh_shape", "LOG_DIR": "log_dir",
     "RENDER_CHUNK": "render_chunk",
     "PIXEL_DTYPE": "pixel_dtype", "HOST_FEED": "host_feed",

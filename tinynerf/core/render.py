@@ -189,6 +189,7 @@ def render_rays(params: mlp.Params,
                 prop_field_fn: Optional[FieldFn] = None,
                 want_dist: bool = False,
                 want_interlevel: bool = False,
+                lindisp: bool = False,
                 ):
     """Full coarse+fine march for a ray batch -> (C_coarse, C_fine), each (B,3).
 
@@ -200,6 +201,13 @@ def render_rays(params: mlp.Params,
 
     Entirely on device inside one traced graph — no host sync anywhere
     (the reference crosses the device boundary 3x per iteration, SURVEY §3.2).
+
+    ``lindisp=True`` (opt-in, ``LINDISP``; the reference has no analog)
+    spaces the coarse march linearly in disparity for unbounded depth
+    ranges, with per-bin densities and resampler slopes replacing the
+    uniform-spacing quirks (both quirks are properties of the t-linear
+    march). Pairs with the mip-360 scene contraction (``CONTRACT``,
+    core/contract.py), which wraps the field itself.
 
     ``ndc_params=(height, width, focal)`` enables the NDC frustum warp for
     forward-facing scenes (an opt-in capability the reference lacks,
@@ -234,6 +242,12 @@ def render_rays(params: mlp.Params,
       samples do not enter the final image, so the proposal's capacity
       bounds sample PLACEMENT, never rendered quality.
     """
+    if lindisp and ndc_params is not None:
+        raise ValueError(
+            "LINDISP is incompatible with NDC: the NDC march runs t in "
+            "[0, 1] with near = 0, where disparity (1/t) diverges. Use one "
+            "or the other (both exist for the same forward-facing/unbounded "
+            "problem).")
     if (want_dist or want_interlevel) and prop_params is None:
         raise ValueError(
             "DIST_LOSS / PROP_INTERLEVEL require PROPOSAL=True: both are "
@@ -278,7 +292,7 @@ def render_rays(params: mlp.Params,
     fused = getattr(field_fn, "render_fused", None)
     if (fused is not None and n_fine > 0 and not compat_sort
             and merge_impl == "twolist" and not extras
-            and prop_params is None):
+            and prop_params is None and not lindisp):
         t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
         return fused(params, origins, dirs, t_co, near, far, n_fine=n_fine,
                      white_bkgd=white_bkgd)
@@ -293,7 +307,7 @@ def render_rays(params: mlp.Params,
         merge_impl = "twolist"
 
     # ---- coarse pass (nerf.py:288-295) ----
-    t_co = sampling.coarse_ts(near, far, n_coarse, key=key)
+    t_co = sampling.coarse_ts(near, far, n_coarse, key=key, lindisp=lindisp)
     if prop_params is not None:
         if prop_field_fn is None:
             from tinynerf.core.proposal import field_proposal
@@ -302,8 +316,17 @@ def render_rays(params: mlp.Params,
                                          origins, dirs, t_co)
     else:
         color_co, sigma_co = _eval_field(field_fn, params, origins, dirs, t_co)
-    delta_ray = (far - near) / n_coarse  # (B,)
-    delta_co = jnp.broadcast_to(delta_ray[:, None], t_co.shape)
+    if lindisp:
+        # disparity-spaced bins are non-uniform in t: use the actual forward
+        # diffs (+ the house tail) instead of the reference's constant
+        # (far - near) / N_c — the constant is a parity quirk of the
+        # t-linear march and would mis-weight every disparity bin
+        delta_co = jnp.concatenate(
+            [t_co[:, 1:] - t_co[:, :-1],
+             jnp.full_like(t_co[:, :1], TAIL_DELTA)], axis=1)
+    else:
+        delta_ray = (far - near) / n_coarse  # (B,)
+        delta_co = jnp.broadcast_to(delta_ray[:, None], t_co.shape)
     dense_co = get_density(delta_co, sigma_co)
     c_coarse = composite(dense_co, color_co)
     if white_bkgd:
@@ -319,8 +342,11 @@ def render_rays(params: mlp.Params,
     # inconsistency kept for parity; per-ray rather than ray-0 per D3)
     dense_for_cdf = (jax.lax.stop_gradient(dense_co)
                      if prop_params is not None else dense_co)
-    t_fi = sampling.resample(t_co, dense_for_cdf,
-                             (far - near) / (n_coarse - 1), n_fine)
+    # LINDISP bins are non-uniform in t: hand the resampler the per-bin
+    # spacings so each CDF segment inverts with its own slope
+    cdf_delta = (t_co[:, 1:] - t_co[:, :-1] if lindisp
+                 else (far - near) / (n_coarse - 1))
+    t_fi = sampling.resample(t_co, dense_for_cdf, cdf_delta, n_fine)
     color_fi, sigma_fi = _eval_field(field_fn, params, origins, dirs, t_fi)
 
     if prop_params is not None:

@@ -69,14 +69,34 @@ def onehot_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def coarse_ts(near: jnp.ndarray, far: jnp.ndarray, n_coarse: int,
-              key: Optional[jax.Array] = None) -> jnp.ndarray:
+              key: Optional[jax.Array] = None,
+              lindisp: bool = False) -> jnp.ndarray:
     """(B,) near/far -> (B, N_c) sample distances.
 
     Deterministic inclusive linspace matching ``np.linspace(near, far, N_c)``
     (reference ``nerf.py:288``). If ``key`` is given, adds stratified jitter
     within each bin (opt-in upgrade; reference has none, Q7).
-    """
+
+    ``lindisp=True`` (opt-in, ``LINDISP``; requires ``near > 0``) spaces the
+    linspace in DISPARITY (1/t) instead of t — the original-NeRF option for
+    unbounded depth ranges, where t-linear samples would waste almost the
+    whole budget on far-field emptiness. Pairs with the mip-360 scene
+    contraction (core/contract.py). Stratified jitter is applied on the
+    level fraction, which keeps per-ray monotonicity exactly like the
+    t-linear case (consecutive fractions differ by ``(1 + u_{i+1} - u_i) /
+    (N_c - 1) >= 0``)."""
     frac = jnp.linspace(0.0, 1.0, n_coarse, dtype=near.dtype)  # (N_c,)
+    if lindisp:
+        if key is not None:
+            jitter = jax.random.uniform(
+                key, (near.shape[0], n_coarse), near.dtype)
+            frac = jnp.minimum(frac[None, :] + jitter / (n_coarse - 1), 1.0)
+        else:
+            frac = jnp.broadcast_to(frac[None, :],
+                                    (near.shape[0], n_coarse))
+        inv_near = 1.0 / near[:, None]
+        inv_far = 1.0 / far[:, None]
+        return 1.0 / (inv_near + (inv_far - inv_near) * frac)
     ts = near[:, None] + (far - near)[:, None] * frac[None, :]
     if key is not None:
         # jitter within the linspace spacing, keeping t in [near, far]
@@ -99,6 +119,10 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
         ``(far - near) / (N_c - 1)`` — the reference takes
         ``t_coarse[0,1] - t_coarse[0,0]`` (nerf.py:234), i.e. the inclusive
         linspace step, NOT the density delta ``(far - near) / N_c``.
+        A (B, N_c - 1) array of PER-BIN spacings is also accepted (the
+        LINDISP path, whose coarse bins are non-uniform in t): bin i's
+        spacing pairs with ``dense_coarse[:, i + 1]`` in the slope, the
+        reference's own column convention.
       n_fine: number of fine samples N_f.
       level_start / level_count: evaluate only levels
         ``[level_start, level_start + level_count)`` of the N_f uniform
@@ -139,7 +163,9 @@ def resample(t_coarse: jnp.ndarray, dense_coarse: jnp.ndarray,
 
     # local inverse slope of the CDF; the last column is padded with 0 exactly
     # like the reference's zero column (nerf.py:257).
-    slope_inv = delta_coarse[:, None] / (dense_coarse[:, 1:] + EPSILON)
+    if delta_coarse.ndim == 1:
+        delta_coarse = delta_coarse[:, None]   # scalar-per-ray broadcast
+    slope_inv = delta_coarse / (dense_coarse[:, 1:] + EPSILON)
     slope_inv = jnp.concatenate(
         [slope_inv, jnp.zeros_like(slope_inv[:, :1])], axis=1)  # (B, N_c)
 

@@ -72,7 +72,8 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                 cfg.n_coarse, cfg.n_fine, field_fn=field_fn,
                 ndc_params=ndc_params,
                 merge_impl="twolist", white_bkgd=cfg.white_bkgd,
-                occ_grid=occ_grid, occ_march=cfg.occ_march_steps)
+                occ_grid=occ_grid, occ_march=cfg.occ_march_steps,
+                lindisp=cfg.lindisp)
             return c_fine.reshape(height, width, 3)
 
         return frame_fused
@@ -102,7 +103,7 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
             and "sample" in dict(batch_sharding.mesh.shape)
             and occ_grid is None and not extras and not cfg.compat_sort
             and not cfg.proposal and cfg.n_fine > 0
-            and ndc_params is None):
+            and ndc_params is None and not cfg.lindisp):
         from tinynerf.parallel.sample_shard import (
             make_sample_sharded_render)
         sh_render = make_sample_sharded_render(
@@ -125,7 +126,7 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
             white_bkgd=cfg.white_bkgd, occ_grid=occ_grid,
             occ_march=cfg.occ_march_steps, extras=extras,
             prop_params=prop_params(cfg, params),
-            prop_field_fn=prop_fn)
+            prop_field_fn=prop_fn, lindisp=cfg.lindisp)
         if extras:
             return out[1], out[2], out[3]
         return out[1]

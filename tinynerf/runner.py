@@ -176,7 +176,7 @@ class Runner:
                     white_bkgd=cfg.white_bkgd, occ_grid=occ,
                     occ_march=cfg.occ_march_steps,
                     prop_params=trainlib.prop_params(cfg, params),
-                    prop_field_fn=prop_fn)
+                    prop_field_fn=prop_fn, lindisp=cfg.lindisp)
                 return jnp.mean(jnp.square(c_fi - b.rgb))
 
             self._val_eval = (val_mse, batch)

@@ -82,10 +82,33 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                       occ=occ)
 
 
+def _maybe_contract(cfg: Config, fn: render.FieldFn) -> render.FieldFn:
+    """Wrap a field for unbounded scenes (``CONTRACT``): points warp into
+    the mip-360 radius-2 ball before evaluation. The wrapper drops the
+    fused-kernel attributes on purpose — see core/contract.py."""
+    if not cfg.contract:
+        return fn
+    if cfg.ndc:
+        raise ValueError(
+            "CONTRACT is incompatible with NDC: both are warps of the march "
+            "domain (NDC for forward-facing, contraction for unbounded 360) "
+            "and composing them distorts the scene twice.")
+    from tinynerf.core.contract import wrap_field_contract
+    return wrap_field_contract(fn)
+
+
 def make_field_fn(cfg: Config, force_pallas: bool = False) -> render.FieldFn:
     """Pick the field evaluator: fused Pallas kernel on TPU, pure jnp
     otherwise, with optional bf16 compute (fp32 params/geometry).
-    ``force_pallas`` bypasses the backend check (interpreter-mode tests)."""
+    ``force_pallas`` bypasses the backend check (interpreter-mode tests).
+    With ``CONTRACT`` the chosen field is wrapped so it evaluates at
+    mip-360-contracted points (unbounded 360 scenes)."""
+    if cfg.contract:
+        return _maybe_contract(cfg, _make_field_fn_inner(cfg, force_pallas))
+    return _make_field_fn_inner(cfg, force_pallas)
+
+
+def _make_field_fn_inner(cfg: Config, force_pallas: bool) -> render.FieldFn:
     if cfg.fine_field == "grid":
         # factorized CP feature grid (core/gridfield.py): pure XLA — the
         # field is three hat-basis matmuls + an elementwise product + a
@@ -147,9 +170,21 @@ def make_prop_field_fn(cfg: Config,
     dominated by the fixed PE transcendentals, which the kernel serializes
     across grid steps while XLA overlaps its fusions; larger kernel tiles
     explode Mosaic compile time). ``prop_pallas=True`` opts the kernel in —
-    kept working + tested, same status as FUSED_RENDER."""
+    kept working + tested, same status as FUSED_RENDER.
+
+    With ``CONTRACT`` the proposal field is wrapped exactly like the fine
+    field (``_maybe_contract``): sample PLACEMENT must see the same warped
+    scene the fine pass renders."""
     if not cfg.proposal:
         return None
+    if cfg.contract:
+        return _maybe_contract(
+            cfg, _make_prop_field_fn_inner(cfg, force_pallas))
+    return _make_prop_field_fn_inner(cfg, force_pallas)
+
+
+def _make_prop_field_fn_inner(cfg: Config,
+                              force_pallas: bool) -> render.FieldFn:
     if cfg.prop_field == "grid":
         # tiny CP grid as the proposal field: all matmuls, zero PE
         # transcendentals — the cost that bounds the narrow prop NET
@@ -262,7 +297,8 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             white_bkgd=cfg.white_bkgd, occ_grid=occ,
             occ_march=cfg.occ_march_steps,
             prop_params=prop_params(cfg, params), prop_field_fn=prop_fn,
-            want_dist=want_dist, want_interlevel=want_il)
+            want_dist=want_dist, want_interlevel=want_il,
+            lindisp=cfg.lindisp)
         c_co, c_fi = out[0], out[1]
         loss = render.ray_loss(c_co, c_fi, batch.rgb)
         if want_dist:
