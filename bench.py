@@ -100,6 +100,11 @@ def main() -> None:
                         help="measure with the occupancy grid enabled "
                              "(empty-space skipping; trades ~9%% rays/s for "
                              "reconstruction quality)")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="KEY=VALUE", dest="overrides",
+                        help="override any INI config key on top of the "
+                             "flag-built config (repeatable), e.g. "
+                             "--set PROP_INTERLEVEL=0.01")
     parser.add_argument("--metric", type=str, default="train",
                         choices=["train", "render"],
                         help="train rays/sec (default) or 800x800 sec/frame")
@@ -137,6 +142,12 @@ def main() -> None:
                  grid_lookup=args.grid_lookup, grid_pallas=args.grid_pallas)
     if args.grid_res is not None:
         cfg.grid_res = args.grid_res
+    from tinynerf.config import apply_key
+    for kv in args.overrides:
+        key, _, raw = kv.partition("=")
+        apply_key(cfg, key, raw)
+    if args.overrides:
+        print(f"overrides={args.overrides}", file=sys.stderr)
 
     # synthetic lego-shaped scene: 16 x 800 x 800 pixel table in HBM
     rng = np.random.default_rng(0)
@@ -234,7 +245,9 @@ def main() -> None:
         "config": (("grid_fine+" if args.grid else "")
                    + (("proposal_grid" if args.prop_field == "grid"
                        else "proposal_coarse") if args.proposal
-                      else "reference_shared_net")),
+                      else "reference_shared_net")
+                   + ("+" + ",".join(args.overrides)
+                      if args.overrides else "")),
     }
     print(f"times={['%.4f' % t for t in times]} "
           f"loss_last={float(np.asarray(losses)[-1]):.4f} "

@@ -253,6 +253,34 @@ def _parse_milestones(raw: str) -> List[int]:
     return [int(tok) for tok in raw.replace(",", " ").split()]
 
 
+def apply_key(cfg: Config, key: str, raw: str) -> None:
+    """Apply one INI-style ``KEY=raw`` override to ``cfg`` in place.
+
+    Shared by :func:`load_config` and programmatic override surfaces
+    (``bench.py --set``, ``tools/validate.py --extra``). Unknown keys are
+    rejected here (unlike INI loading, where unknown keys are ignored for
+    reference-INI compatibility) because a typo in a measurement override
+    would silently measure the wrong config.
+    """
+    key = key.upper()
+    field = _KEY_TO_FIELD.get(key)
+    if field is None:
+        raise KeyError(f"unknown config key {key!r}")
+    if key == "LR_MILESTONE":
+        value = _parse_milestones(raw)
+    elif key == "MESH_SHAPE":
+        value = None if raw.strip().lower() in ("", "none", "auto") else int(raw)
+    elif key in _INT_KEYS:
+        value = int(raw)
+    elif key in _FLOAT_KEYS:
+        value = float(raw)
+    elif key in _BOOL_KEYS:
+        value = raw.strip().lower() in ("1", "true", "yes", "on")
+    else:
+        value = raw
+    setattr(cfg, field, value)
+
+
 def load_config(name_or_path: str, conf_dir: str = CONF_DIR) -> Config:
     """Load ``conf/<name>.ini`` (or an explicit path) into a :class:`Config`.
 
@@ -284,20 +312,7 @@ def load_config(name_or_path: str, conf_dir: str = CONF_DIR) -> Config:
     if "TOTAL_ITER" in items:
         items.pop("EPOCH", None)
     for key, raw in items.items():
-        field = _KEY_TO_FIELD.get(key)
-        if field is None:
+        if key not in _KEY_TO_FIELD:
             continue
-        if key == "LR_MILESTONE":
-            value = _parse_milestones(raw)
-        elif key == "MESH_SHAPE":
-            value = None if raw.strip().lower() in ("", "none", "auto") else int(raw)
-        elif key in _INT_KEYS:
-            value = int(raw)
-        elif key in _FLOAT_KEYS:
-            value = float(raw)
-        elif key in _BOOL_KEYS:
-            value = raw.strip().lower() in ("1", "true", "yes", "on")
-        else:
-            value = raw
-        setattr(cfg, field, value)
+        apply_key(cfg, key, raw)
     return cfg
