@@ -71,3 +71,25 @@ def test_shipped_conf_files_load():
 def test_missing_conf_raises():
     with pytest.raises(FileNotFoundError):
         load_config("does_not_exist")
+
+
+def test_apply_key_rejects_unknown():
+    cfg = Config()
+    from tinynerf.config import apply_key
+    apply_key(cfg, "prop_interlevel", "0.01")   # case-insensitive
+    assert cfg.prop_interlevel == 0.01
+    with pytest.raises(KeyError):
+        apply_key(cfg, "PROP_INTRLEVEL", "0.01")  # typo must not pass silently
+
+
+def test_config_docs_current():
+    """docs/CONFIG.md is generated from config.py — fail if it drifts."""
+    import importlib.util
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "gen_config_docs", os.path.join(root, "tools", "gen_config_docs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    on_disk = open(os.path.join(root, "docs", "CONFIG.md")).read()
+    assert on_disk == mod.render(), (
+        "docs/CONFIG.md is stale — run: python tools/gen_config_docs.py")

@@ -32,22 +32,25 @@ class Config:
 
     # --- reference keys (main.py:18-34) ---
     gpu: int = 0                      # kept for INI compat; unused on TPU
-    img_dir: str = "./data/lego/"
-    results_path: str = "./results/"
-    ckpt_path: str = "./checkpoint/"
+    img_dir: str = "./data/lego/"     # scene directory (Blender or LLFF layout)
+    results_path: str = "./results/"  # previews, per-view renders, videos
+    ckpt_path: str = "./checkpoint/"  # *.npz checkpoints (resume-latest)
     low_res: int = 1                  # image downsample factor (Q9: implemented)
-    total_iter: int = 100_000
-    batch_ray: int = 400
-    learning: float = 3e-4
-    lr_gamma: float = 0.1
+    total_iter: int = 100_000         # training iterations (EPOCH is an alias)
+    batch_ray: int = 400              # rays per step (4096 saturates a v5e chip)
+    learning: float = 3e-4            # Adam learning rate
+    lr_gamma: float = 0.1             # decay factor (per-step EXP exponent base
+                                      # or MULTISTEP multiplier, Q6 semantics)
     lr_milestone: List[int] = dataclasses.field(default_factory=lambda: [10, 200])
-    n_coarse: int = 64
-    n_fine: int = 128
+                                      # MULTISTEP decay boundaries (iterations)
+    n_coarse: int = 64                # coarse/proposal samples per ray
+    n_fine: int = 128                 # fine (resampled) samples per ray
     data_type: str = "sync"           # "sync" (Blender) | "llff"
     step: int = 100                   # checkpoint / preview cadence
-    decay_end: int = 10_000
+    decay_end: int = 10_000           # EXP schedule: iteration where LR
+                                      # reaches LEARNING * LR_GAMMA
     sched: str = "EXP"                # "EXP" | "MULTISTEP"
-    continue_: bool = False
+    continue_: bool = False           # resume from the latest checkpoint
 
     # --- new TPU-framework keys (all optional in the INI) ---
     seed: int = 624                   # reference seeds everything with 624 (nerf.py:50)
@@ -138,8 +141,10 @@ class Config:
                                       # (kernels/grid_kernel.py): keeps the
                                       # (rows, R) hat-basis matrices in VMEM
                                       # instead of round-tripping them
-                                      # through HBM every matmul. Opt-in
-                                      # pending TPU measurement.
+                                      # through HBM every matmul. MEASURED
+                                      # SLOWER than the jnp path (336k vs
+                                      # 743k all-grid, VALIDATION.md round-3
+                                      # late sweep) — opt-in only.
     grid_lookup: str = "onehot"       # "onehot" (hat-basis matmul, MXU)
                                       # | "gather" (measurement-only)
     prop_field: str = "grid"          # "grid" (tiny CP grid) | "mlp"
