@@ -63,6 +63,9 @@ def main() -> None:
                     help="FINE_FIELD=grid (factorized CP feature grid)")
     ap.add_argument("--grid-pallas", action="store_true",
                     help="fused CP-grid Pallas kernel (GRID_PALLAS)")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="KEY=VALUE",
+                    help="override any INI config key (repeatable)")
     ap.add_argument("--out", default="/tmp/tinynerf_trace")
     args = ap.parse_args()
 
@@ -94,6 +97,10 @@ def main() -> None:
                  occ_update_every=10 ** 9, proposal=args.proposal,
                  fine_field="grid" if args.grid else "mlp",
                  grid_pallas=args.grid_pallas)
+    from tinynerf.config import apply_key
+    for kv in args.overrides:
+        key, _, raw = kv.partition("=")
+        apply_key(cfg, key, raw)
     table = RayTable(SceneData(images=images, poses_bounds=pose_rows,
                                height=hw, width=hw, focal=focal))
     step = trainlib.make_train_step(cfg, table, make_k_inv(hw, hw, focal))
