@@ -101,15 +101,27 @@ def _spawn_pair(sync_scene_dir, out0, out1):
     processes starving the peer), not a property under test."""
     import shutil
 
+    # Coordination-infrastructure symptoms of this image's single CPU core
+    # being oversubscribed (other test processes starving a peer past a
+    # connect/barrier deadline) — not properties under test.
+    _INFRA = ("Gloo context initialization failed", "Timed out",
+              "timed out", "Connection refused", "DEADLINE_EXCEEDED")
+
     for attempt in (1, 2):
         port = _free_port()
         p1 = _spawn(sync_scene_dir, out1, 1, 2, port, local_devices=4)
         p0 = _spawn(sync_scene_dir, out0, 0, 2, port, local_devices=4)
         try:
             return _wait_all([p0, p1], ["proc0", "proc1"])
-        except AssertionError as exc:
-            if attempt == 2 or "Gloo context initialization failed" not in str(exc):
+        except (AssertionError, subprocess.TimeoutExpired) as exc:
+            infra = (isinstance(exc, subprocess.TimeoutExpired)
+                     or any(s in str(exc) for s in _INFRA))
+            if attempt == 2 or not infra:
                 raise
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
             for d in (out0, out1):
                 shutil.rmtree(d, ignore_errors=True)
 
