@@ -288,3 +288,52 @@ def test_grid_bf16_path():
     assert s16.dtype == jnp.float32  # outputs cast back for the composite
     np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=0.05,
                                rtol=0.1)
+
+
+def test_hybrid_shapes_and_lr_scale():
+    """GRID_HYBRID: sigma comes from the tiny density MLP (cross-component
+    mixing), its hidden features join the color input, and the sigma-net
+    leaves train at the BASE LR (only lines get GRID_LR_MULT)."""
+    p = gridfield.init_grid_field(jax.random.PRNGKey(0), res=32,
+                                  n_density=8, n_app=8, decoder_width=16,
+                                  extent=2.0, hybrid=True)
+    assert "sigma_net" in p
+    assert p["sigma_net"]["hidden"]["w"].shape == (8, 16)
+    # decoder hidden widened by the sigma-net features
+    from tinynerf.core.encoding import DIR_ENC_DIM
+    assert p["decoder"]["hidden"]["w"].shape == (DIR_ENC_DIM + 8 + 16, 16)
+    color, sigma = gridfield.apply_grid_field(
+        p, jnp.zeros((4, 5, 3)), jnp.ones((4, 5, 3)), n_density=8)
+    assert color[0].shape == (4, 5) and sigma.shape == (4, 5, 1)
+    assert float(jnp.min(sigma)) >= 0.0
+
+    cfg = _cfg(grid_hybrid=True, prop_field="mlp")
+    state = trainlib.init_state(cfg)
+    scale = trainlib.make_lr_scale(cfg, state.params)
+    for leaf in jax.tree_util.tree_leaves(scale["net"]["sigma_net"]):
+        assert leaf == 1.0
+    assert all(scale["net"]["lines"][ax] == cfg.grid_lr_mult
+               for ax in ("x", "y", "z"))
+
+
+def test_hybrid_train_step_learns(setup):
+    table, k_inv = setup
+    cfg = _cfg(grid_hybrid=True)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    sn_before = np.asarray(state.params["net"]["sigma_net"]["hidden"]["w"])
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first
+    assert not np.allclose(
+        np.asarray(state.params["net"]["sigma_net"]["hidden"]["w"]),
+        sn_before)  # the density MLP actually trains
+
+
+def test_hybrid_rejects_grid_pallas():
+    cfg = _cfg(grid_hybrid=True, grid_pallas=True)
+    with pytest.raises(ValueError, match="GRID_HYBRID"):
+        trainlib.make_field_fn(cfg, force_pallas=True)

@@ -124,6 +124,11 @@ class Config:
                                       # 20 measured best on the 20k-iter
                                       # validation sweep: 27.1 dB vs 24.6
                                       # at 40 and 26.1 at 10, VALIDATION.md)
+    grid_hybrid: bool = False         # NGP-style tiny density MLP on the
+                                      # CP density product (cross-component
+                                      # mixing; hidden features also feed
+                                      # the color decoder). Fine grid only;
+                                      # incompatible with GRID_PALLAS.
     grid_tv: float = 0.0              # total-variation weight on the lines
     dist_loss: float = 0.0            # mip-360 distortion regularizer weight
                                       # on the fine weights (needs PROPOSAL)
@@ -183,7 +188,7 @@ _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
               "PROPOSAL", "PROP_PALLAS", "VAL_METRICS", "CONTRACT",
-              "LINDISP"}
+              "LINDISP", "GRID_HYBRID"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -213,6 +218,7 @@ _KEY_TO_FIELD = {
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
     "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
     "GRID_LOOKUP": "grid_lookup", "GRID_PALLAS": "grid_pallas",
+    "GRID_HYBRID": "grid_hybrid",
     "GRID_UPSAMPLE": "grid_upsample", "DIST_LOSS": "dist_loss",
     "PROP_INTERLEVEL": "prop_interlevel",
     "PROP_FIELD": "prop_field", "PROP_GRID_RES": "prop_grid_res",

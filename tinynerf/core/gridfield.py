@@ -66,27 +66,43 @@ def init_grid_field(key: jax.Array, res: int = RES,
                     n_density: int = N_COMP_DENSITY, n_app: int = N_COMP_APP,
                     decoder_width: int = DECODER_WIDTH,
                     extent: float = EXTENT,
-                    init_scale: float = INIT_SCALE) -> Params:
+                    init_scale: float = INIT_SCALE,
+                    hybrid: bool = False) -> Params:
     """Parameter pytree: 3 per-axis line tables + the color decoder.
 
     Each line table is (res, n_density + n_app); density components occupy
     the leading columns. At the defaults: 3*256*80 = 61,440 line params +
-    ~6.1k decoder params."""
+    ~6.1k decoder params.
+
+    ``hybrid=True`` (``GRID_HYBRID``) adds an Instant-NGP-style tiny
+    density MLP on the CP density product — sigma = abs(Linear(relu(
+    Linear(prod)))) — whose hidden features also feed the color decoder.
+    Pure CP sums density components independently; the MLP mixes them
+    (cross-component interactions), the capacity pure factorizations
+    lack. Its leaves live OUTSIDE ``lines`` so they train at the base LR
+    (make_lr_scale routes the GRID_LR_MULT by path)."""
     n_comp = n_density + n_app
-    kx, ky, kz, k1, k2 = jax.random.split(key, 5)
+    kx, ky, kz, k1, k2, k3, k4 = jax.random.split(key, 7)
     lines = {ax: init_scale * jax.random.normal(k, (res, n_comp), jnp.float32)
              for ax, k in zip(AXES, (kx, ky, kz))}
+    dec_in = DIR_ENC_DIM + n_app + (decoder_width if hybrid else 0)
     decoder = {
-        "hidden": _linear_init(k1, DIR_ENC_DIM + n_app, decoder_width),
+        "hidden": _linear_init(k1, dec_in, decoder_width),
         "color": _linear_init(k2, decoder_width, 3),
     }
-    return {"lines": lines, "decoder": decoder,
-            # static geometry riding the pytree as an array so checkpoints
-            # carry it (res/F are recoverable from the line shapes; extent
-            # is not). stop_gradient'd at use, so its grads — and hence its
-            # Adam updates — are identically zero.
-            "extent": jnp.asarray(extent, jnp.float32),
+    out = {"lines": lines, "decoder": decoder,
+           # static geometry riding the pytree as an array so checkpoints
+           # carry it (res/F are recoverable from the line shapes; extent
+           # is not). stop_gradient'd at use, so its grads — and hence its
+           # Adam updates — are identically zero.
+           "extent": jnp.asarray(extent, jnp.float32),
     }
+    if hybrid:
+        out["sigma_net"] = {
+            "hidden": _linear_init(k3, n_density, decoder_width),
+            "sigma": _linear_init(k4, decoder_width, 1),
+        }
+    return out
 
 
 def num_params(params: Params) -> int:
@@ -148,15 +164,25 @@ def apply_grid_field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray,
 
     sigma = abs(sum_f fx_f * fy_f * fz_f) over the density components;
     color = sigmoid(Linear(relu(Linear([dir_enc, app_feat])))) where
-    app_feat is the per-component CP product of the appearance columns."""
+    app_feat is the per-component CP product of the appearance columns.
+    With a ``sigma_net`` in the param tree (GRID_HYBRID) sigma comes from
+    the tiny density MLP instead and its hidden features join the color
+    input (see init_grid_field)."""
     fx, fy, fz = _line_features(params["lines"], points, params["extent"],
                                 lookup, compute_dtype)
     prod = fx * fy * fz                                   # (..., Fd+Fa)
-    sigma = jnp.abs(jnp.sum(prod[..., :n_density], axis=-1, keepdims=True))
     app = prod[..., n_density:]
     de = encoding.encode_dirs(dirs).astype(compute_dtype)
-    h = jax.nn.relu(_linear(params["decoder"]["hidden"],
-                            jnp.concatenate([de, app], axis=-1)))
+    if "sigma_net" in params:
+        hs = jax.nn.relu(_linear(params["sigma_net"]["hidden"],
+                                 prod[..., :n_density]))
+        sigma = jnp.abs(_linear(params["sigma_net"]["sigma"], hs))
+        color_in = jnp.concatenate([de, app, hs], axis=-1)
+    else:
+        sigma = jnp.abs(jnp.sum(prod[..., :n_density], axis=-1,
+                                keepdims=True))
+        color_in = jnp.concatenate([de, app], axis=-1)
+    h = jax.nn.relu(_linear(params["decoder"]["hidden"], color_in))
     color = jax.nn.sigmoid(_linear(params["decoder"]["color"], h))
     color_c = tuple(color[..., c].astype(jnp.float32) for c in range(3))
     return color_c, sigma.astype(jnp.float32)

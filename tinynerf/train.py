@@ -52,7 +52,8 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                                      n_density=cfg.grid_comp_density,
                                      n_app=cfg.grid_comp_app,
                                      decoder_width=cfg.grid_decoder_width,
-                                     extent=cfg.grid_extent)
+                                     extent=cfg.grid_extent,
+                                     hybrid=cfg.grid_hybrid)
         else:
             params = mlp.init_network(pkey)
         if cfg.proposal:
@@ -120,6 +121,10 @@ def _make_field_fn_inner(cfg: Config, force_pallas: bool) -> render.FieldFn:
                              lookup=cfg.grid_lookup, compute_dtype=dtype)
         if cfg.grid_pallas and (force_pallas
                                 or jax.default_backend() == "tpu"):
+            if cfg.grid_hybrid:
+                raise ValueError(
+                    "GRID_PALLAS computes the plain CP form and would "
+                    "silently drop the GRID_HYBRID sigma net — unset one")
             # fused ray-major kernel: the (rows, R) hat-basis matrices —
             # the jnp path's dominant HBM artifact — live only in VMEM
             import functools
