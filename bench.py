@@ -10,15 +10,18 @@ Adam (reference ``conf/lego.ini``, ``nerf.py:445-475``), on a synthetic
 batch-size-independent throughput metric — pass --batch 400 for the literal
 reference batch).
 
-Default model config since round 3: PROPOSAL (small coarse proposal field +
-full-size fine net), with the proposal field as a tiny CP grid
-(PROP_FIELD=grid) since late round 3. This deviates from the reference's
-shared-single-net architecture but each step is measured STRICTLY dominant
-on the 20k-iter validation protocol (VALIDATION.md round-3 tables):
-reference semantics 18.37 dB @110k -> proposal net 23.38 dB @154k ->
-full-stack prop net 30.47 dB @135k -> full-stack prop GRID 30.76 dB @142k
-sustained — i.e. faster AND higher quality at every flip, like the
-bf16/Pallas choices before it. ``--no-proposal`` measures the
+Default model config since late round 3: PROPOSAL (tiny CP-grid coarse
+proposal field) + the HYBRID GRID fine field (FINE_FIELD=grid +
+GRID_HYBRID: TensoRF-CP line tables with an NGP-style density MLP mixing
+the components, core/gridfield.py). This deviates from the reference's
+shared-single-net architecture but every flip is measured STRICTLY
+dominant on the 20k-iter validation protocol (VALIDATION.md round-3
+tables): reference semantics 18.37 dB @110k -> proposal net 23.38 dB
+@154k -> full-stack prop net 30.47 dB @135k -> full-stack prop GRID
+30.76 dB @142k -> hybrid grid fine 33.50 dB @374k sustained — faster AND
+higher quality at every step, and the 100k-soak ordering agrees (38.14 dB
+hybrid vs 37.21 MLP fine). ``--mlp-fine`` measures the previous
+(reference-size fine net) flagship, ``--no-proposal`` the
 reference-architecture config, ``--prop-field mlp`` the narrow-net
 proposal; the JSON carries a ``config`` field naming the measured variant.
 
@@ -83,10 +86,27 @@ def main() -> None:
                              "tiny CP grid (default; zero PE "
                              "transcendentals, measured strictly dominant) "
                              "or the narrow PE net")
-    parser.add_argument("--grid", action="store_true",
+    parser.add_argument("--grid", dest="grid", action="store_true",
+                        default=True,
                         help="FINE_FIELD=grid: factorized CP feature-grid "
                              "fine field (core/gridfield.py, ~7.7x fewer "
-                             "MACs/sample than the reference net)")
+                             "MACs/sample than the reference net). DEFAULT "
+                             "since late round 3 together with --hybrid: "
+                             "measured strictly dominant over the MLP fine "
+                             "net (VALIDATION.md: 33.50 dB @374k sustained "
+                             "vs 30.76 @142k at 20k iters; 38.14 vs 37.21 "
+                             "dB at a 100k soak)")
+    parser.add_argument("--mlp-fine", dest="grid", action="store_false",
+                        help="previous flagship: reference-size MLP fine "
+                             "net (593,924 params) under the grid proposal")
+    parser.add_argument("--hybrid", dest="hybrid", action="store_true",
+                        default=True,
+                        help="GRID_HYBRID: NGP-style tiny density MLP "
+                             "mixing the CP components (default; +6.3 dB "
+                             "over the plain CP sum at 15%% step cost)")
+    parser.add_argument("--no-hybrid", dest="hybrid", action="store_false",
+                        help="plain CP density sum (fastest config: "
+                             "743k rays/s vs 632k hybrid)")
     parser.add_argument("--grid-res", type=int, default=None,
                         help="grid line resolution override (default 256)")
     parser.add_argument("--grid-pallas", action="store_true",
@@ -139,6 +159,7 @@ def main() -> None:
                  proposal=args.proposal, proposal_enc_l=args.prop_enc_l,
                  prop_field=args.prop_field,
                  fine_field="grid" if args.grid else "mlp",
+                 grid_hybrid=args.grid and args.hybrid,
                  grid_lookup=args.grid_lookup, grid_pallas=args.grid_pallas)
     if args.grid_res is not None:
         cfg.grid_res = args.grid_res
@@ -242,7 +263,8 @@ def main() -> None:
         "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 2),
         "baseline_basis": "estimated_reference_gpu_8k_rays_per_sec",
         "vs_cpu_measured": round(rays_per_sec / REF_CPU_TRAIN_RAYS_PER_SEC, 1),
-        "config": (("grid_fine+" if args.grid else "")
+        "config": ((("hybrid_grid_fine+" if args.hybrid else "grid_fine+")
+                    if args.grid else "")
                    + (("proposal_grid" if args.prop_field == "grid"
                        else "proposal_coarse") if args.proposal
                       else "reference_shared_net")

@@ -337,3 +337,20 @@ def test_hybrid_rejects_grid_pallas():
     cfg = _cfg(grid_hybrid=True, grid_pallas=True)
     with pytest.raises(ValueError, match="GRID_HYBRID"):
         trainlib.make_field_fn(cfg, force_pallas=True)
+
+
+def test_prop_hybrid_step_learns(setup):
+    """PROP_GRID_HYBRID: the proposal grid gets its own density MLP; the
+    combined {net, prop} step still trains (detection is data-driven via
+    the sigma_net leaf, so the prop field fn needs no flag)."""
+    table, k_inv = setup
+    cfg = _cfg(grid_hybrid=True, prop_grid_hybrid=True)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    assert "sigma_net" in state.params["prop"]
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first

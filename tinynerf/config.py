@@ -168,6 +168,8 @@ class Config:
     prop_grid_comp_density: int = 16  # proposal-grid density components
     prop_grid_comp_app: int = 16      # proposal-grid appearance components
     prop_grid_decoder_width: int = 16 # proposal-grid decoder width
+    prop_grid_hybrid: bool = False    # GRID_HYBRID for the proposal grid
+                                      # (tiny density MLP on its CP product)
 
     @property
     def total_samples(self) -> int:
@@ -188,7 +190,7 @@ _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
               "PROPOSAL", "PROP_PALLAS", "VAL_METRICS", "CONTRACT",
-              "LINDISP", "GRID_HYBRID"}
+              "LINDISP", "GRID_HYBRID", "PROP_GRID_HYBRID"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -225,6 +227,7 @@ _KEY_TO_FIELD = {
     "PROP_GRID_COMP_DENSITY": "prop_grid_comp_density",
     "PROP_GRID_COMP_APP": "prop_grid_comp_app",
     "PROP_GRID_DECODER_WIDTH": "prop_grid_decoder_width",
+    "PROP_GRID_HYBRID": "prop_grid_hybrid",
 }
 
 

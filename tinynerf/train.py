@@ -65,7 +65,8 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                     n_density=cfg.prop_grid_comp_density,
                     n_app=cfg.prop_grid_comp_app,
                     decoder_width=cfg.prop_grid_decoder_width,
-                    extent=cfg.grid_extent)
+                    extent=cfg.grid_extent,
+                    hybrid=cfg.prop_grid_hybrid)
             else:
                 from tinynerf.core.proposal import init_proposal
                 prop = init_proposal(pkey2, cfg.proposal_width,
@@ -200,6 +201,11 @@ def _make_prop_field_fn_inner(cfg: Config,
                              lookup=cfg.grid_lookup, compute_dtype=dtype)
         if cfg.grid_pallas and (force_pallas
                                 or jax.default_backend() == "tpu"):
+            if cfg.prop_grid_hybrid:
+                raise ValueError(
+                    "GRID_PALLAS computes the plain CP form and would "
+                    "silently drop the PROP_GRID_HYBRID sigma net — "
+                    "unset one")
             # same fused kernel, proposal-grid geometry (R=64, F=32): no
             # transcendentals on its hot path, so the proposal-kernel
             # serialization lesson (make_prop_field_fn docstring) does not

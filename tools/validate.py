@@ -11,8 +11,10 @@ invocation away from re-measurement.
 Families (--family):
   reference  reference semantics (shared coarse/fine net, no extras)
   proposal   PROPOSAL coarse field (grid prop), fine MLP
-  full       flagship: PROPOSAL + OCC_GRID + WHITE_BKGD         [default]
+  full       MLP-fine stack: PROPOSAL + OCC_GRID + WHITE_BKGD   [default]
   grid       all-grid: FINE_FIELD=grid full stack (lego_grid.ini recipe)
+  hybrid     flagship: grid stack + GRID_HYBRID density MLP
+             (bench.py default since late round 3)
 
 Usage:
     python tools/validate.py --out /tmp/val --iters 20000
@@ -62,6 +64,10 @@ FAMILY = {
              "GRID_COMP_DENSITY = 64\nGRID_COMP_APP = 64\n"
              "GRID_DECODER_WIDTH = 128\nGRID_LR_MULT = 20\nGRID_TV = 0.1\n"),
 }
+# flagship since late round 3: the grid stack + the NGP-style density MLP
+# (GRID_HYBRID) — measured strictly dominant over both the plain CP sum
+# and the MLP fine net (VALIDATION.md)
+FAMILY["hybrid"] = FAMILY["grid"] + "GRID_HYBRID = True\n"
 
 
 def main() -> None:
