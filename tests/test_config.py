@@ -93,3 +93,18 @@ def test_config_docs_current():
     on_disk = open(os.path.join(root, "docs", "CONFIG.md")).read()
     assert on_disk == mod.render(), (
         "docs/CONFIG.md is stale — run: python tools/gen_config_docs.py")
+
+
+_CONF_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "conf")
+
+
+@pytest.mark.parametrize("ini", sorted(os.listdir(_CONF_DIR)))
+def test_shipped_inis_parse(ini):
+    """Every shipped scene config must load into a valid Config (the
+    reference's own shipped INIs raise NoOptionError, SURVEY.md Q1 — ours
+    must not)."""
+    cfg = load_config(os.path.join(_CONF_DIR, ini))
+    assert cfg.total_iter > 0 and cfg.batch_ray > 0
+    assert cfg.n_coarse > 0 and cfg.n_fine >= 0
+    assert cfg.fine_field in ("mlp", "grid")

@@ -354,3 +354,17 @@ def test_prop_hybrid_step_learns(setup):
         last = float(m["loss"])
         first = last if first is None else first
     assert np.isfinite(last) and last < first
+
+
+def test_hybrid_sigma_width_knob():
+    """GRID_SIGMA_WIDTH sizes the sigma-net hidden independently of the
+    color decoder; 0 falls back to decoder_width."""
+    p = gridfield.init_grid_field(jax.random.PRNGKey(0), res=16,
+                                  n_density=4, n_app=4, decoder_width=16,
+                                  extent=2.0, hybrid=True, sigma_width=8)
+    assert p["sigma_net"]["hidden"]["w"].shape == (4, 8)
+    from tinynerf.core.encoding import DIR_ENC_DIM
+    assert p["decoder"]["hidden"]["w"].shape == (DIR_ENC_DIM + 4 + 8, 16)
+    color, sigma = gridfield.apply_grid_field(
+        p, jnp.zeros((2, 3, 3)), jnp.ones((2, 3, 3)), n_density=4)
+    assert sigma.shape == (2, 3, 1)

@@ -124,6 +124,8 @@ class Config:
                                       # 20 measured best on the 20k-iter
                                       # validation sweep: 27.1 dB vs 24.6
                                       # at 40 and 26.1 at 10, VALIDATION.md)
+    grid_sigma_width: int = 0         # GRID_HYBRID sigma-net hidden width
+                                      # (0 = grid_decoder_width)
     grid_hybrid: bool = False         # NGP-style tiny density MLP on the
                                       # CP density product (cross-component
                                       # mixing; hidden features also feed
@@ -183,7 +185,8 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "PROPOSAL_ENC_L", "SAMPLE_SHARD", "GRID_RES",
              "GRID_COMP_DENSITY", "GRID_COMP_APP", "GRID_DECODER_WIDTH",
              "PROP_GRID_RES", "PROP_GRID_COMP_DENSITY",
-             "PROP_GRID_COMP_APP", "PROP_GRID_DECODER_WIDTH"}
+             "PROP_GRID_COMP_APP", "PROP_GRID_DECODER_WIDTH",
+             "GRID_SIGMA_WIDTH"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET", "GRID_EXTENT", "GRID_LR_MULT", "GRID_TV",
                "DIST_LOSS", "PROP_INTERLEVEL"}
@@ -220,7 +223,7 @@ _KEY_TO_FIELD = {
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
     "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
     "GRID_LOOKUP": "grid_lookup", "GRID_PALLAS": "grid_pallas",
-    "GRID_HYBRID": "grid_hybrid",
+    "GRID_HYBRID": "grid_hybrid", "GRID_SIGMA_WIDTH": "grid_sigma_width",
     "GRID_UPSAMPLE": "grid_upsample", "DIST_LOSS": "dist_loss",
     "PROP_INTERLEVEL": "prop_interlevel",
     "PROP_FIELD": "prop_field", "PROP_GRID_RES": "prop_grid_res",

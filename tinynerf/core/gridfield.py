@@ -67,7 +67,8 @@ def init_grid_field(key: jax.Array, res: int = RES,
                     decoder_width: int = DECODER_WIDTH,
                     extent: float = EXTENT,
                     init_scale: float = INIT_SCALE,
-                    hybrid: bool = False) -> Params:
+                    hybrid: bool = False,
+                    sigma_width: int = 0) -> Params:
     """Parameter pytree: 3 per-axis line tables + the color decoder.
 
     Each line table is (res, n_density + n_app); density components occupy
@@ -80,12 +81,14 @@ def init_grid_field(key: jax.Array, res: int = RES,
     Pure CP sums density components independently; the MLP mixes them
     (cross-component interactions), the capacity pure factorizations
     lack. Its leaves live OUTSIDE ``lines`` so they train at the base LR
-    (make_lr_scale routes the GRID_LR_MULT by path)."""
+    (make_lr_scale routes the GRID_LR_MULT by path). ``sigma_width``
+    sizes its hidden layer independently (0 = decoder_width)."""
     n_comp = n_density + n_app
     kx, ky, kz, k1, k2, k3, k4 = jax.random.split(key, 7)
     lines = {ax: init_scale * jax.random.normal(k, (res, n_comp), jnp.float32)
              for ax, k in zip(AXES, (kx, ky, kz))}
-    dec_in = DIR_ENC_DIM + n_app + (decoder_width if hybrid else 0)
+    sigma_width = sigma_width or decoder_width
+    dec_in = DIR_ENC_DIM + n_app + (sigma_width if hybrid else 0)
     decoder = {
         "hidden": _linear_init(k1, dec_in, decoder_width),
         "color": _linear_init(k2, decoder_width, 3),
@@ -99,8 +102,8 @@ def init_grid_field(key: jax.Array, res: int = RES,
     }
     if hybrid:
         out["sigma_net"] = {
-            "hidden": _linear_init(k3, n_density, decoder_width),
-            "sigma": _linear_init(k4, decoder_width, 1),
+            "hidden": _linear_init(k3, n_density, sigma_width),
+            "sigma": _linear_init(k4, sigma_width, 1),
         }
     return out
 

@@ -53,7 +53,8 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                                      n_app=cfg.grid_comp_app,
                                      decoder_width=cfg.grid_decoder_width,
                                      extent=cfg.grid_extent,
-                                     hybrid=cfg.grid_hybrid)
+                                     hybrid=cfg.grid_hybrid,
+                                     sigma_width=cfg.grid_sigma_width)
         else:
             params = mlp.init_network(pkey)
         if cfg.proposal:
