@@ -107,6 +107,12 @@ def main() -> None:
     parser.add_argument("--no-hybrid", dest="hybrid", action="store_false",
                         help="plain CP density sum (fastest config: "
                              "743k rays/s vs 632k hybrid)")
+    parser.add_argument("--no-prop-hybrid", dest="prop_hybrid",
+                        action="store_false", default=True,
+                        help="disable the proposal-side density MLP "
+                             "(PROP_GRID_HYBRID; default on with the "
+                             "hybrid fine field: +1.16 dB @20k / +2.10 dB "
+                             "@100k at <=1.5%% step cost, VALIDATION.md)")
     parser.add_argument("--grid-res", type=int, default=None,
                         help="grid line resolution override (default 256)")
     parser.add_argument("--grid-pallas", action="store_true",
@@ -160,6 +166,8 @@ def main() -> None:
                  prop_field=args.prop_field,
                  fine_field="grid" if args.grid else "mlp",
                  grid_hybrid=args.grid and args.hybrid,
+                 prop_grid_hybrid=(args.grid and args.hybrid
+                                   and args.prop_hybrid),
                  grid_lookup=args.grid_lookup, grid_pallas=args.grid_pallas)
     if args.grid_res is not None:
         cfg.grid_res = args.grid_res
@@ -265,6 +273,7 @@ def main() -> None:
         "vs_cpu_measured": round(rays_per_sec / REF_CPU_TRAIN_RAYS_PER_SEC, 1),
         "config": ((("hybrid_grid_fine+" if args.hybrid else "grid_fine+")
                     if args.grid else "")
+                   + ("prop_hybrid+" if cfg.prop_grid_hybrid else "")
                    + (("proposal_grid" if args.prop_field == "grid"
                        else "proposal_coarse") if args.proposal
                       else "reference_shared_net")

@@ -65,9 +65,11 @@ FAMILY = {
              "GRID_DECODER_WIDTH = 128\nGRID_LR_MULT = 20\nGRID_TV = 0.1\n"),
 }
 # flagship since late round 3: the grid stack + the NGP-style density MLP
-# (GRID_HYBRID) — measured strictly dominant over both the plain CP sum
-# and the MLP fine net (VALIDATION.md)
-FAMILY["hybrid"] = FAMILY["grid"] + "GRID_HYBRID = True\n"
+# (GRID_HYBRID) on BOTH fields — measured strictly dominant over the plain
+# CP sum and the MLP fine net, and the proposal-side MLP adds +1.16 dB
+# @20k / +2.10 dB @100k at <=1.5% step cost (VALIDATION.md)
+FAMILY["hybrid"] = (FAMILY["grid"] + "GRID_HYBRID = True\n"
+                    + "PROP_GRID_HYBRID = True\n")
 
 
 def main() -> None:
