@@ -171,6 +171,10 @@ def main() -> None:
                  grid_lookup=args.grid_lookup, grid_pallas=args.grid_pallas)
     if args.grid_res is not None:
         cfg.grid_res = args.grid_res
+    elif args.grid and args.hybrid:
+        # flagship line resolution: 384 beats 256 (+1.18 dB @20k) and 512
+        # at ~1% step cost (VALIDATION.md queue 10)
+        cfg.grid_res = 384
     from tinynerf.config import apply_key
     for kv in args.overrides:
         key, _, raw = kv.partition("=")

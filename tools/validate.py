@@ -69,7 +69,10 @@ FAMILY = {
 # CP sum and the MLP fine net, and the proposal-side MLP adds +1.16 dB
 # @20k / +2.10 dB @100k at <=1.5% step cost (VALIDATION.md)
 FAMILY["hybrid"] = (FAMILY["grid"] + "GRID_HYBRID = True\n"
-                    + "PROP_GRID_HYBRID = True\n")
+                    + "PROP_GRID_HYBRID = True\n"
+                    # res 384 > 256 (+1.18 dB @20k, +0.61 @100k) > 512
+                    # at ~1-2% step cost (VALIDATION.md queue 10)
+                    + "GRID_RES = 384\n")
 
 
 def main() -> None:
