@@ -114,6 +114,16 @@ class Config:
                                       # core/gridfield.py — second model
                                       # family, ~7.7x fewer MACs/sample)
     grid_res: int = 256               # line-table resolution per axis
+    grid_levels: int = 1              # multi-resolution CP pyramid depth
+                                      # (fine grid only): level l adds a
+                                      # zero-init per-axis line table at
+                                      # res >> l whose features SUM with
+                                      # level 0 before the CP product —
+                                      # coarse levels carry smooth gradient
+                                      # support the res ladder lacks (512
+                                      # regressed, VALIDATION.md queue 10).
+                                      # 1 = exactly the single-level field.
+                                      # Incompatible with GRID_UPSAMPLE.
     grid_comp_density: int = 32       # CP components for density
     grid_comp_app: int = 48           # CP components for appearance
     grid_decoder_width: int = 64      # color-decoder hidden width
@@ -182,7 +192,7 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
              "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY",
              "OCC_MARCH_STEPS", "PROPOSAL_WIDTH", "PROPOSAL_DEPTH",
-             "PROPOSAL_ENC_L", "SAMPLE_SHARD", "GRID_RES",
+             "PROPOSAL_ENC_L", "SAMPLE_SHARD", "GRID_RES", "GRID_LEVELS",
              "GRID_COMP_DENSITY", "GRID_COMP_APP", "GRID_DECODER_WIDTH",
              "PROP_GRID_RES", "PROP_GRID_COMP_DENSITY",
              "PROP_GRID_COMP_APP", "PROP_GRID_DECODER_WIDTH",
@@ -219,6 +229,7 @@ _KEY_TO_FIELD = {
     "PROP_PALLAS": "prop_pallas",
     "SAMPLE_SHARD": "sample_shard",
     "FINE_FIELD": "fine_field", "GRID_RES": "grid_res",
+    "GRID_LEVELS": "grid_levels",
     "GRID_COMP_DENSITY": "grid_comp_density", "GRID_COMP_APP": "grid_comp_app",
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
     "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",

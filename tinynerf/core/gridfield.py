@@ -68,7 +68,8 @@ def init_grid_field(key: jax.Array, res: int = RES,
                     extent: float = EXTENT,
                     init_scale: float = INIT_SCALE,
                     hybrid: bool = False,
-                    sigma_width: int = 0) -> Params:
+                    sigma_width: int = 0,
+                    levels: int = 1) -> Params:
     """Parameter pytree: 3 per-axis line tables + the color decoder.
 
     Each line table is (res, n_density + n_app); density components occupy
@@ -82,11 +83,24 @@ def init_grid_field(key: jax.Array, res: int = RES,
     (cross-component interactions), the capacity pure factorizations
     lack. Its leaves live OUTSIDE ``lines`` so they train at the base LR
     (make_lr_scale routes the GRID_LR_MULT by path). ``sigma_width``
-    sizes its hidden layer independently (0 = decoder_width)."""
+    sizes its hidden layer independently (0 = decoder_width).
+
+    ``levels > 1`` (``GRID_LEVELS``) builds a multi-resolution pyramid:
+    level l adds a per-axis table ``lines[f"{ax}{l}"]`` at ``res >> l``
+    whose interpolated features SUM with level 0's before the CP product.
+    Extra levels are ZERO-initialized, so a levels=L field starts exactly
+    equal to the levels=1 field (their gradients differ — the coarser hat
+    bases spread each sample's gradient over wider support, the smooth
+    prior the flat-res ladder lacks). Living inside ``lines`` they inherit
+    GRID_LR_MULT and checkpointing for free."""
     n_comp = n_density + n_app
     kx, ky, kz, k1, k2, k3, k4 = jax.random.split(key, 7)
     lines = {ax: init_scale * jax.random.normal(k, (res, n_comp), jnp.float32)
              for ax, k in zip(AXES, (kx, ky, kz))}
+    for lvl in range(1, levels):
+        res_l = max(2, res >> lvl)
+        for ax in AXES:
+            lines[f"{ax}{lvl}"] = jnp.zeros((res_l, n_comp), jnp.float32)
     sigma_width = sigma_width or decoder_width
     dec_in = DIR_ENC_DIM + n_app + (sigma_width if hybrid else 0)
     decoder = {
@@ -129,32 +143,44 @@ def _line_features(lines: Dict[str, jnp.ndarray], points: jnp.ndarray,
     """Interpolate each axis's line table at the points' coordinates.
 
     points (..., 3) -> tuple of 3 arrays (..., F). Coordinates clamp to the
-    grid boundary (points outside [-extent, extent] read the edge value)."""
-    res = lines[AXES[0]].shape[0]
+    grid boundary (points outside [-extent, extent] read the edge value).
+
+    Pyramid tables (``lines["x1"]`` etc., GRID_LEVELS) interpolate at their
+    own resolution and sum into the axis features."""
     # extent is frozen geometry riding the param tree: without the detach,
     # grad would flow extent->xg->hat basis and force a per-axis
     # dU = dF @ table^T matmul that exists only to differentiate a constant
     extent = jax.lax.stop_gradient(extent)
-    # f32 grid coordinates in [0, res-1] (bf16 cannot hold sub-cell offsets)
-    xg = jnp.clip((points.astype(jnp.float32) + extent) / (2.0 * extent),
-                  0.0, 1.0) * (res - 1)
-    feats = []
-    for a, ax in enumerate(AXES):
-        table = lines[ax].astype(compute_dtype)
+    # f32 normalized coordinates in [0, 1] (bf16 cannot hold sub-cell
+    # offsets once scaled by res-1)
+    t01 = jnp.clip((points.astype(jnp.float32) + extent) / (2.0 * extent),
+                   0.0, 1.0)
+
+    def interp(table: jnp.ndarray, tc: jnp.ndarray) -> jnp.ndarray:
+        res = table.shape[0]
+        xg = tc * (res - 1)
+        table = table.astype(compute_dtype)
         if lookup == "gather":
             # measurement-only variant: canonical 2-neighbour lerp; its VJP
             # scatter-adds into the table (the formulation the hat-basis
             # matmul exists to avoid)
-            i0 = jnp.floor(xg[..., a])
-            frac = (xg[..., a] - i0).astype(compute_dtype)[..., None]
+            i0 = jnp.floor(xg)
+            frac = (xg - i0).astype(compute_dtype)[..., None]
             i0 = i0.astype(jnp.int32)
             f0 = jnp.take(table, i0, axis=0)
             f1 = jnp.take(table, jnp.minimum(i0 + 1, res - 1), axis=0)
-            feats.append(f0 * (1.0 - frac) + f1 * frac)
-        else:
-            u = _hat_basis(xg[..., a], res, compute_dtype)
-            feats.append(jnp.matmul(u, table,
-                                    precision=jax.lax.Precision.HIGHEST))
+            return f0 * (1.0 - frac) + f1 * frac
+        u = _hat_basis(xg, res, compute_dtype)
+        return jnp.matmul(u, table, precision=jax.lax.Precision.HIGHEST)
+
+    feats = []
+    for a, ax in enumerate(AXES):
+        f = interp(lines[ax], t01[..., a])
+        lvl = 1
+        while f"{ax}{lvl}" in lines:
+            f = f + interp(lines[f"{ax}{lvl}"], t01[..., a])
+            lvl += 1
+        feats.append(f)
     return tuple(feats)
 
 
@@ -222,7 +248,12 @@ def upsample_lines(params: Params, new_res: int) -> Params:
     line table (R, F) -> (new_res, F) by linear interpolation on the MXU.
     Decoder/extent leaves pass through untouched. Works on any pytree with
     the grid-field layout — Adam moment trees included (they live on the
-    same lattice as their parameters)."""
+    same lattice as their parameters). Pyramid fields (GRID_LEVELS > 1)
+    are rejected: the levels already span resolutions, and resampling each
+    would silently change their relative bandwidths."""
+    if any(k not in AXES for k in params["lines"]):
+        raise ValueError("GRID_UPSAMPLE is incompatible with GRID_LEVELS>1 "
+                         "(multi-resolution pyramid)")
     old_res = params["lines"][AXES[0]].shape[0]
     if new_res == old_res:
         return params
@@ -236,10 +267,11 @@ def upsample_lines(params: Params, new_res: int) -> Params:
 
 def tv_loss(params: Params) -> jnp.ndarray:
     """Total-variation regularizer over the line tables: mean squared
-    difference of adjacent entries, summed over the three axes. O(3*R*F)
-    elementwise — negligible next to the field evaluation."""
+    difference of adjacent entries, summed over the three axes (and every
+    pyramid level, GRID_LEVELS). O(levels*3*R*F) elementwise — negligible
+    next to the field evaluation."""
     total = jnp.asarray(0.0, jnp.float32)
-    for ax in AXES:
-        t = params["lines"][ax]
+    for name in sorted(params["lines"]):
+        t = params["lines"][name]
         total = total + jnp.mean(jnp.square(t[1:] - t[:-1]))
     return total

@@ -54,7 +54,11 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                                      decoder_width=cfg.grid_decoder_width,
                                      extent=cfg.grid_extent,
                                      hybrid=cfg.grid_hybrid,
-                                     sigma_width=cfg.grid_sigma_width)
+                                     sigma_width=cfg.grid_sigma_width,
+                                     levels=cfg.grid_levels)
+            if cfg.grid_upsample and cfg.grid_levels > 1:
+                raise ValueError("GRID_UPSAMPLE is incompatible with "
+                                 "GRID_LEVELS>1 (multi-resolution pyramid)")
         else:
             params = mlp.init_network(pkey)
         if cfg.proposal:
@@ -127,6 +131,11 @@ def _make_field_fn_inner(cfg: Config, force_pallas: bool) -> render.FieldFn:
                 raise ValueError(
                     "GRID_PALLAS computes the plain CP form and would "
                     "silently drop the GRID_HYBRID sigma net — unset one")
+            if cfg.grid_levels > 1:
+                raise ValueError(
+                    "GRID_PALLAS reads only the level-0 line tables and "
+                    "would silently drop the GRID_LEVELS pyramid — unset "
+                    "one")
             # fused ray-major kernel: the (rows, R) hat-basis matrices —
             # the jnp path's dominant HBM artifact — live only in VMEM
             import functools
