@@ -368,3 +368,136 @@ def test_hybrid_sigma_width_knob():
     color, sigma = gridfield.apply_grid_field(
         p, jnp.zeros((2, 3, 3)), jnp.ones((2, 3, 3)), n_density=4)
     assert sigma.shape == (2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# GRID_LEVELS (multi-resolution CP pyramid) — VERDICT r3 item 1
+# ---------------------------------------------------------------------------
+
+def test_levels_init_bit_equal_to_single_level():
+    """Extra pyramid levels are zero-init: a levels=3 field's output must be
+    BIT-identical to levels=1 at matching init (same key -> same level-0
+    tables and decoder; the added tables contribute exactly zero)."""
+    kw = dict(res=32, n_density=4, n_app=4, decoder_width=8, extent=2.0,
+              hybrid=True)
+    p1 = gridfield.init_grid_field(jax.random.PRNGKey(7), levels=1, **kw)
+    p3 = gridfield.init_grid_field(jax.random.PRNGKey(7), levels=3, **kw)
+    assert set(p3["lines"]) == {"x", "y", "z", "x1", "y1", "z1",
+                                "x2", "y2", "z2"}
+    assert p3["lines"]["x1"].shape == (16, 8)
+    assert p3["lines"]["x2"].shape == (8, 8)
+    pts = jax.random.uniform(jax.random.PRNGKey(8), (32, 3), jnp.float32,
+                             -2.5, 2.5)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (32, 1))
+    c1, s1 = gridfield.apply_grid_field(p1, pts, dirs, n_density=4)
+    c3, s3 = gridfield.apply_grid_field(p3, pts, dirs, n_density=4)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
+    for a, b in zip(c1, c3):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_levels_gradients_reach_every_level():
+    """Every pyramid table receives gradient (the coarse hat bases spread
+    each sample over wider support — no level is dead at init)."""
+    p = gridfield.init_grid_field(jax.random.PRNGKey(9), res=32, n_density=4,
+                                  n_app=4, decoder_width=8, extent=2.0,
+                                  levels=2)
+    pts = jax.random.uniform(jax.random.PRNGKey(10), (64, 3), jnp.float32,
+                             -1.5, 1.5)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (64, 1))
+
+    def loss(params):
+        color, sigma = gridfield.apply_grid_field(params, pts, dirs,
+                                                  n_density=4)
+        return jnp.sum(sigma) + sum(jnp.sum(c) for c in color)
+
+    g = jax.grad(loss)(p)
+    for name in ("x", "y", "z", "x1", "y1", "z1"):
+        assert float(jnp.abs(g["lines"][name]).max()) > 0.0, name
+
+
+def test_levels_interp_sums_levels():
+    """_line_features with a pyramid = sum of per-level interpolations."""
+    p = gridfield.init_grid_field(jax.random.PRNGKey(11), res=16,
+                                  n_density=2, n_app=2, decoder_width=8,
+                                  extent=1.0, levels=2)
+    # give level 1 real content so the sum is observable
+    lines = dict(p["lines"])
+    lines["x1"] = 0.5 * jax.random.normal(jax.random.PRNGKey(12),
+                                          lines["x1"].shape, jnp.float32)
+    pts = jax.random.uniform(jax.random.PRNGKey(13), (16, 3), jnp.float32,
+                             -1.0, 1.0)
+    fx = gridfield._line_features(lines, pts, p["extent"], "onehot",
+                                  jnp.float32)[0]
+    only0 = {k: v for k, v in lines.items() if k in gridfield.AXES}
+    only1 = dict(only0)
+    only1["x"] = jnp.zeros_like(lines["x"])
+    only1["x1"] = lines["x1"]
+    fx0 = gridfield._line_features(only0, pts, p["extent"], "onehot",
+                                   jnp.float32)[0]
+    fx1 = gridfield._line_features(only1, pts, p["extent"], "onehot",
+                                   jnp.float32)[0]
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fx0 + fx1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_levels_tv_and_lr_scale_cover_pyramid():
+    cfg = _cfg(grid_levels=2)
+    state = trainlib.init_state(cfg)
+    scale = trainlib.make_lr_scale(cfg, state.params)
+    for name in ("x", "y", "z", "x1", "y1", "z1"):
+        assert scale["net"]["lines"][name] == cfg.grid_lr_mult
+    # tv_loss covers every level: zeroing level-1 tables changes nothing
+    # only if they are already smooth (zero-init) — perturb to check
+    p = state.params["net"]
+    tv0 = float(gridfield.tv_loss(p))
+    bumped = dict(p)
+    bumped["lines"] = dict(p["lines"])
+    bumped["lines"]["x1"] = p["lines"]["x1"].at[0, 0].set(5.0)
+    assert float(gridfield.tv_loss(bumped)) > tv0
+
+
+def test_levels_upsample_rejected():
+    p = gridfield.init_grid_field(jax.random.PRNGKey(0), res=16,
+                                  n_density=2, n_app=2, levels=2)
+    with pytest.raises(ValueError, match="GRID_LEVELS"):
+        gridfield.upsample_lines(p, 32)
+    # and the config-level guard fires at init_state on EVERY path,
+    # including resume (ADVICE r3: it used to hide in the params-None branch)
+    cfg = _cfg(grid_levels=2, grid_upsample=((32, 100),))
+    with pytest.raises(ValueError, match="GRID_UPSAMPLE is incompatible"):
+        trainlib.init_state(cfg)
+    with pytest.raises(ValueError, match="GRID_UPSAMPLE is incompatible"):
+        trainlib.init_state(cfg, params={"fake": jnp.zeros(1)})
+
+
+def test_levels_train_step_learns_and_resumes(setup, tmp_path, capsys):
+    """End-to-end: hybrid flagship shape + levels=2 trains, checkpoints,
+    resumes bit-exact; resuming under a mismatched GRID_LEVELS warns."""
+    table, k_inv = setup
+    cfg = _cfg(grid_levels=2, grid_hybrid=True)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    l1_before = np.asarray(state.params["net"]["lines"]["x1"])
+    first = last = None
+    for _ in range(20):
+        state, m = step(state)
+        last = float(m["loss"])
+        first = last if first is None else first
+    assert np.isfinite(last) and last < first
+    assert not np.allclose(np.asarray(state.params["net"]["lines"]["x1"]),
+                           l1_before)  # level 1 leaves zero-init behind
+    path = ckpt.save_checkpoint(str(tmp_path), "t", 19,
+                                jax.device_get(state.params),
+                                jax.device_get(state.opt))
+    _it, params2, opt2, _k, _o = ckpt.load_checkpoint_full(path)
+    resumed = trainlib.init_state(cfg, params=params2, opt_state=opt2,
+                                  iteration=20)
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    capsys.readouterr()
+    trainlib.init_state(_cfg(grid_levels=1, grid_hybrid=True),
+                        params=params2, opt_state=opt2, iteration=20)
+    out = capsys.readouterr().out
+    assert "2 grid level(s)" in out and "GRID_LEVELS=1" in out

@@ -43,6 +43,25 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                params: Optional[Any] = None,
                opt_state: Optional[optim.AdamState] = None,
                iteration: int = 0) -> TrainState:
+    if cfg.fine_field == "grid" and cfg.grid_upsample and cfg.grid_levels > 1:
+        # config-level incompatibility: fail on EVERY path (fresh init AND
+        # resume) before any parameter work, not at the first upsample
+        # milestone (ADVICE r3)
+        raise ValueError("GRID_UPSAMPLE is incompatible with "
+                         "GRID_LEVELS>1 (multi-resolution pyramid)")
+    if params is not None and cfg.fine_field == "grid":
+        # resumed checkpoints carry their own level structure in the lines
+        # keys; the config knob cannot restructure them — say so instead of
+        # silently ignoring GRID_LEVELS (ADVICE r3)
+        lines = (params["net"] if cfg.proposal else params).get("lines")
+        if lines is not None:
+            n_levels = 1 + max((int(k[1:]) for k in lines if len(k) > 1),
+                               default=0)
+            if n_levels != cfg.grid_levels:
+                print(f"WARNING: checkpoint has {n_levels} grid level(s) "
+                      f"but GRID_LEVELS={cfg.grid_levels}; the checkpoint's "
+                      "level structure wins (resume cannot restructure the "
+                      "pyramid)")
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     pkey, skey = jax.random.split(key)
     if params is None:
@@ -56,9 +75,6 @@ def init_state(cfg: Config, key: Optional[jax.Array] = None,
                                      hybrid=cfg.grid_hybrid,
                                      sigma_width=cfg.grid_sigma_width,
                                      levels=cfg.grid_levels)
-            if cfg.grid_upsample and cfg.grid_levels > 1:
-                raise ValueError("GRID_UPSAMPLE is incompatible with "
-                                 "GRID_LEVELS>1 (multi-resolution pyramid)")
         else:
             params = mlp.init_network(pkey)
         if cfg.proposal:
