@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--step", type=int, default=2)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--family", default="mlp", choices=["mlp", "hybrid"],
+                    help="mlp = reference-semantics shared net; hybrid = "
+                    "the flagship stack (grid fine + hybrid sigma nets + "
+                    "grid proposal + per-leaf GRID_LR_MULT + VAL_METRICS) "
+                    "at tiny geometry")
     args = ap.parse_args()
 
     # CPU backend with fake devices, BEFORE any backend initialization.
@@ -52,6 +57,19 @@ def main() -> None:
     from tinynerf.config import Config
     from tinynerf.runner import Runner
 
+    extra = {}
+    if args.family == "hybrid":
+        # the FLAGSHIP architecture at tiny geometry: {net, prop} param
+        # pair, hybrid sigma nets on both grids, per-leaf GRID_LR_MULT
+        # Adam scaling, and the held-out VAL_METRICS series — everything
+        # VERDICT r3 #5/#6 wants proven across a real process boundary
+        extra = dict(fine_field="grid", grid_hybrid=True, grid_res=16,
+                     grid_comp_density=4, grid_comp_app=4,
+                     grid_decoder_width=8, grid_extent=6.0,
+                     proposal=True, prop_field="grid", prop_grid_hybrid=True,
+                     prop_grid_res=8, prop_grid_comp_density=4,
+                     prop_grid_comp_app=4, prop_grid_decoder_width=8,
+                     val_metrics=True)
     cfg = Config(
         img_dir=args.scene,
         results_path=os.path.join(args.out, "results"),
@@ -63,10 +81,11 @@ def main() -> None:
         # at 5e-3 a 1e-6 reassociation delta amplifies 4x per step
         total_iter=args.iters, step=args.step, batch_ray=args.batch,
         n_coarse=4, n_fine=4, learning=5e-4, use_pallas=False,
-        render_chunk=8 * args.local_devices * expected)
+        render_chunk=8 * args.local_devices * expected, **extra)
 
     runner = Runner(cfg)
     losses = []
+    val_psnrs = []
 
     # wrap the logger to capture the loss stream on every process
     real_log = runner.logger.log
@@ -75,6 +94,8 @@ def main() -> None:
         for k, v in scalars.items():
             if k.startswith("loss/"):
                 losses.append((iteration, float(np.asarray(v))))
+            elif k == "psnr/val":
+                val_psnrs.append((iteration, float(np.asarray(v))))
         real_log(iteration, scalars)
 
     runner.logger.log = capture
@@ -97,6 +118,7 @@ def main() -> None:
                    "process_count": info["process_count"],
                    "global_devices": info["global_devices"],
                    "losses": sorted(losses),
+                   "val_psnrs": sorted(val_psnrs),
                    "psnr": float(psnr),
                    "param_digest": digest}, fh)
     print(f"[child {info['process_index']}] done: psnr={psnr:.2f}")

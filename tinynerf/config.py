@@ -73,6 +73,12 @@ class Config:
                                       # unbounded depth ranges (per-bin
                                       # densities/CDF slopes; needs near>0;
                                       # incompatible with NDC)
+    near: float = 0.0                 # >0: override every pose row's near
+                                      # bound (sync scenes hardcode 2.0 —
+                                      # 360/unbounded captures need their own)
+    far: float = 0.0                  # >0: override every pose row's far
+                                      # bound (arbitrarily large with
+                                      # CONTRACT+LINDISP — that is the point)
     mesh_shape: Optional[int] = None  # data-parallel devices; None = all local
     sample_shard: int = 0             # >1: shard the FINE sample axis over a
                                       # 2-D (data x sample) mesh for deep
@@ -199,7 +205,7 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "GRID_SIGMA_WIDTH"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
                "OCC_SUBSET", "GRID_EXTENT", "GRID_LR_MULT", "GRID_TV",
-               "DIST_LOSS", "PROP_INTERLEVEL"}
+               "DIST_LOSS", "PROP_INTERLEVEL", "NEAR", "FAR"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
               "PROPOSAL", "PROP_PALLAS", "VAL_METRICS", "CONTRACT",
@@ -216,6 +222,7 @@ _KEY_TO_FIELD = {
     "FUSED_RENDER": "fused_render",
     "COMPAT_SORT": "compat_sort", "STRATIFIED": "stratified", "NDC": "ndc",
     "CONTRACT": "contract", "LINDISP": "lindisp",
+    "NEAR": "near", "FAR": "far",
     "MESH_SHAPE": "mesh_shape", "LOG_DIR": "log_dir",
     "RENDER_CHUNK": "render_chunk",
     "PIXEL_DTYPE": "pixel_dtype", "HOST_FEED": "host_feed",

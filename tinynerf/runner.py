@@ -44,7 +44,20 @@ class Runner:
         self.is_main = dist.is_main_process()
 
         # --- data (host ingest -> HBM tables, or host-side for big scenes) ---
-        train_scene = load_scene(cfg.img_dir, cfg.data_type, "train", cfg.low_res)
+        def ingest(mode):
+            scene = load_scene(cfg.img_dir, cfg.data_type, mode, cfg.low_res)
+            if cfg.near > 0 or cfg.far > 0:
+                # march-bound overrides (NEAR/FAR): sync scenes hardcode
+                # 2.0/6.0 (reference loader.py:9-10) — unbounded 360
+                # captures need near ~0.1 and an arbitrarily large far
+                scene.poses_bounds = scene.poses_bounds.copy()
+                if cfg.near > 0:
+                    scene.poses_bounds[:, 15] = cfg.near
+                if cfg.far > 0:
+                    scene.poses_bounds[:, 16] = cfg.far
+            return scene
+
+        train_scene = ingest("train")
         if cfg.ndc and cfg.data_type == "llff":
             # NDC needs LLFF-standard recentered/rescaled poses (poses.py)
             from tinynerf.data.poses import recenter_and_rescale
@@ -58,12 +71,8 @@ class Runner:
         if cfg.data_type == "llff":
             self.val_table = self.test_table = self.train_table
         else:
-            self.val_table = RayTable(
-                load_scene(cfg.img_dir, cfg.data_type, "val", cfg.low_res),
-                **table_kw)
-            self.test_table = RayTable(
-                load_scene(cfg.img_dir, cfg.data_type, "test", cfg.low_res),
-                **table_kw)
+            self.val_table = RayTable(ingest("val"), **table_kw)
+            self.test_table = RayTable(ingest("test"), **table_kw)
 
         self.k_inv = make_k_inv(self.train_table.height, self.train_table.width,
                                 self.train_table.focal)
@@ -141,9 +150,9 @@ class Runner:
         pass over a FIXED val-split ray batch — the same rays every call, so
         the logged series is comparable across iterations. One extra
         dispatch per STEP logging boundary (amortized like the preview
-        canvas). Single-process runs only: on a pod every process would
-        have to enter the sharded jit, and this is called from the
-        process-0 artifact block."""
+        canvas). On a pod run EVERY process calls this (the jit spans the
+        global mesh, so all processes must enter it together); only
+        process 0 prints/logs the value — see the train loop."""
         from tinynerf.core import render
         if self._val_eval is None:
             cfg = self.cfg
@@ -163,6 +172,12 @@ class Runner:
                 rgb=jnp.asarray(flat.astype(np.float32)),
                 pose17=jnp.asarray(np.asarray(table.poses)[pic]),
                 pic=jnp.asarray(pic))
+            if self.multiprocess:
+                # pod observability (VERDICT r3 #6): params live replicated
+                # on the GLOBAL mesh, so the val batch must too — every
+                # process builds the identical batch (fixed seed) and the
+                # jit runs as one global program
+                batch = dist.put_replicated(batch, self.mesh)
             field_fn = trainlib.make_field_fn(cfg)
             prop_fn = trainlib.make_prop_field_fn(cfg)
 
@@ -334,11 +349,13 @@ class Runner:
                       f"[T] ({c_t[0]:.4f} {c_t[1]:.4f} {c_t[2]:.4f}) "
                       f"[F] ({c_f[0]:.4f} {c_f[1]:.4f} {c_f[2]:.4f}) "
                       f"[RAYS/S] {rate:,.0f}")
-                if (mode == "train" and cfg.val_metrics
-                        and not self.multiprocess):
+                if mode == "train" and cfg.val_metrics:
+                    # ALL processes enter the (global-mesh) val jit; only
+                    # process 0 reports — pod runs keep the held-out series
                     val_psnr = self._val_psnr()
-                    print(f"[VAL PSNR] {val_psnr:.2f} dB")
-                    self.logger.log(it - 1, {"psnr/val": val_psnr})
+                    if self.is_main:
+                        print(f"[VAL PSNR] {val_psnr:.2f} dB")
+                        self.logger.log(it - 1, {"psnr/val": val_psnr})
                 self.logger.flush()
                 if mode == "train" and self.is_main:
                     # process-0 owns the preview + checkpoint artifacts; on a

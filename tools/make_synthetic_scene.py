@@ -123,6 +123,115 @@ def make_llff_scene(out_dir: str, hw: int = 100, views: int = 20) -> None:
     print(f"wrote {views} llff views at {hw}x{hw} -> {out_dir}")
 
 
+# --- outward-facing unbounded-360 variant (VERDICT r3 #2) ---------------
+# Cameras sit on a SMALL ring near the origin looking OUTWARD; content
+# spans two orders of magnitude of depth (spheres at r~2-18 plus a
+# procedurally-shaded environment shell at r=60, hit by every escaping
+# ray). No bounded [near, far] box both contains the near spheres at
+# usable resolution and reaches the shell — the capability CONTRACT +
+# LINDISP exist for, and one the reference cannot express at all (its
+# march is a fixed 2..6 box, nerf.py:288-295).
+RING_RADIUS = 0.3
+ENV_RADIUS = 60.0
+SPHERES_360 = [
+    # (center, radius, albedo) — azimuthally spread, two depth octaves
+    (np.array([2.5, 0.0, 0.0]), 0.8, np.array([0.85, 0.25, 0.20])),
+    (np.array([-1.8, 0.3, 1.8]), 0.7, np.array([0.20, 0.55, 0.90])),
+    (np.array([0.4, -0.4, -2.6]), 0.9, np.array([0.95, 0.80, 0.25])),
+    (np.array([-2.2, 0.5, -2.0]), 0.75, np.array([0.30, 0.80, 0.40])),
+    (np.array([5.5, 1.0, 4.5]), 1.6, np.array([0.75, 0.35, 0.85])),
+    (np.array([-6.0, -1.2, 3.5]), 1.8, np.array([0.25, 0.75, 0.75])),
+    (np.array([4.0, -0.8, -7.0]), 2.0, np.array([0.90, 0.55, 0.30])),
+    (np.array([-9.0, 2.0, -9.0]), 3.0, np.array([0.55, 0.60, 0.95])),
+    (np.array([14.0, 3.0, 6.0]), 3.5, np.array([0.80, 0.80, 0.60])),
+    (np.array([-5.0, 1.5, 15.0]), 4.0, np.array([0.60, 0.90, 0.50])),
+]
+
+
+def _env_shell(dirs: np.ndarray) -> np.ndarray:
+    """Smooth direction-indexed environment color (the 'sky at infinity'):
+    low-frequency bands so the field can represent it near the contraction
+    boundary without aliasing."""
+    d = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+    r = 0.55 + 0.35 * np.sin(2.0 * d[:, 0] + 4.0 * d[:, 2])
+    g = 0.55 + 0.35 * np.sin(3.0 * d[:, 1] - 2.0 * d[:, 0] + 1.0)
+    b = 0.65 + 0.30 * np.cos(2.5 * d[:, 2] + 1.5 * d[:, 1])
+    return np.clip(np.stack([r, g, b], axis=1), 0.0, 1.0)
+
+
+def look_outward(position: np.ndarray, direction: np.ndarray) -> np.ndarray:
+    """c2w for a camera AT ``position`` looking ALONG ``direction``."""
+    back = -direction / np.linalg.norm(direction)
+    up_hint = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up_hint, back)
+    right /= np.linalg.norm(right)
+    up = np.cross(back, right)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, back, position
+    return c2w
+
+
+def render_view_360(c2w: np.ndarray, hw: int) -> np.ndarray:
+    """(hw, hw, 4) uint8 RGBA over SPHERES_360 + the environment shell
+    (alpha=1 everywhere: every ray terminates on geometry or the shell)."""
+    focal = 0.5 * hw / np.tan(0.5 * CAMERA_ANGLE_X)
+    rr, cc = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    x_c = rr.reshape(-1) - 0.5 * hw
+    y_c = -cc.reshape(-1) + 0.5 * hw
+    z_c = np.full_like(x_c, -focal, dtype=np.float64)
+    d_cam = np.stack([x_c, y_c, z_c], axis=1)
+    d_cam /= np.linalg.norm(d_cam, axis=1, keepdims=True)
+    d_world = d_cam @ c2w[:3, :3].T
+    origin = c2w[:3, 3]
+
+    best_t = np.full(hw * hw, np.inf)
+    color = _env_shell(d_world)  # miss -> environment at infinity
+    for center, radius, albedo in SPHERES_360:
+        t = ray_sphere(origin, d_world, center, radius)
+        closer = t < best_t
+        if not closer.any():
+            continue
+        pts = origin + t[closer, None] * d_world[closer]
+        normals = (pts - center) / radius
+        lambert = np.clip(normals @ LIGHT_DIR, 0.0, 1.0)
+        color[closer] = albedo * (0.25 + 0.75 * lambert[:, None])
+        best_t = np.where(closer, t, best_t)
+
+    rgba = np.concatenate([color, np.ones((hw * hw, 1))], axis=1)
+    return (np.clip(rgba, 0, 1).reshape(hw, hw, 4) * 255).astype(np.uint8)
+
+
+def make_360_scene(out_dir: str, hw: int = 100, views: int = 30,
+                   val_views: int = 5, test_views: int = 5) -> None:
+    """Blender-format outward-facing 360 scene: cameras on a RING_RADIUS
+    ring sweeping all azimuths. Pair with NEAR=0.1 FAR=80 (the sync
+    ingest's hardcoded 2/6 box sees almost nothing of this scene) and the
+    CONTRACT+LINDISP stack — conf/synthetic360.ini is the tuned recipe."""
+    splits = {"train": views, "val": val_views, "test": test_views}
+    for mode, n in splits.items():
+        frames = []
+        img_dir = os.path.join(out_dir, mode)
+        os.makedirs(img_dir, exist_ok=True)
+        for i in range(n):
+            theta = 2 * np.pi * (i / n + (0.37 if mode == "val" else
+                                          0.67 if mode == "test" else 0.0))
+            elev = np.deg2rad(8.0 * np.sin(1.7 * theta + 0.4))
+            position = RING_RADIUS * np.array(
+                [np.sin(theta), 0.25 * np.cos(2.3 * theta), np.cos(theta)])
+            direction = np.array([
+                np.sin(theta) * np.cos(elev), np.sin(elev),
+                np.cos(theta) * np.cos(elev)])
+            c2w = look_outward(position, direction)
+            Image.fromarray(render_view_360(c2w, hw), "RGBA").save(
+                os.path.join(img_dir, f"r_{i}.png"))
+            frames.append({"file_path": f"./{mode}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{mode}.json"), "w") as f:
+            json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
+    print(f"wrote {sum(splits.values())} outward-360 views at {hw}x{hw} "
+          f"-> {out_dir}")
+
+
 def make_scene(out_dir: str, hw: int = 100, views: int = 30,
                val_views: int = 5, test_views: int = 5) -> None:
     rng = np.random.default_rng(0)
@@ -154,9 +263,11 @@ if __name__ == "__main__":
     parser.add_argument("--hw", type=int, default=100)
     parser.add_argument("--views", type=int, default=30)
     parser.add_argument("--format", type=str, default="sync",
-                        choices=["sync", "llff"])
+                        choices=["sync", "llff", "360"])
     args = parser.parse_args()
     if args.format == "llff":
         make_llff_scene(args.out_dir, hw=args.hw, views=args.views)
+    elif args.format == "360":
+        make_360_scene(args.out_dir, hw=args.hw, views=args.views)
     else:
         make_scene(args.out_dir, hw=args.hw, views=args.views)

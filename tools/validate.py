@@ -15,6 +15,10 @@ Families (--family):
   grid       all-grid: FINE_FIELD=grid full stack (lego_grid.ini recipe)
   hybrid     flagship: grid stack + GRID_HYBRID density MLP
              (bench.py default since late round 3)
+  u360       unbounded-360 stack (CONTRACT+LINDISP+hybrid grid) — pair
+             with --scene-format 360 (outward ring capture)
+  u360_nowarp / u360_bigbox
+             warp ablation / naive-huge-box baselines for u360
 
 Usage:
     python tools/validate.py --out /tmp/val --iters 20000
@@ -74,6 +78,24 @@ FAMILY["hybrid"] = (FAMILY["grid"] + "GRID_HYBRID = True\n"
                     # at ~1-2% step cost (VALIDATION.md queue 10)
                     + "GRID_RES = 384\n")
 
+# --- unbounded-360 protocol (VERDICT r3 #2): pair with --scene-format 360.
+# Hybrid-grid stack WITHOUT the occupancy grid (its bounded extent boxes
+# the origin, not this scene's unbounded content) on the outward ring
+# capture: near spheres at r~2 through an environment shell at r=60.
+# u360 = full CONTRACT+LINDISP warp, grid spanning the radius-2
+# contraction ball; u360_nowarp ablates ONLY the warp (same capacity —
+# the bounded field clamps past r=2); u360_bigbox is the naive "make the
+# box huge" fix (linear march + extent 80, resolution/unit collapses).
+_U360_BASE = ("PROPOSAL = True\nFINE_FIELD = grid\nGRID_HYBRID = True\n"
+              "PROP_GRID_HYBRID = True\nGRID_RES = 384\n"
+              "GRID_COMP_DENSITY = 64\nGRID_COMP_APP = 64\n"
+              "GRID_DECODER_WIDTH = 128\nGRID_LR_MULT = 20\nGRID_TV = 0.1\n"
+              "STRATIFIED = True\nNEAR = 0.1\nFAR = 80\n")
+FAMILY["u360"] = (_U360_BASE
+                  + "CONTRACT = True\nLINDISP = True\nGRID_EXTENT = 2.0\n")
+FAMILY["u360_nowarp"] = _U360_BASE + "GRID_EXTENT = 2.0\n"
+FAMILY["u360_bigbox"] = _U360_BASE + "GRID_EXTENT = 80.0\n"
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
@@ -90,6 +112,11 @@ def main() -> None:
     parser.add_argument("--n-fine", type=int, default=128)
     parser.add_argument("--extra", action="append", default=[],
                         metavar="KEY=VALUE", help="extra INI keys (repeat)")
+    parser.add_argument("--scene-format", default="sync",
+                        choices=["sync", "360"],
+                        help="capture generator: inward spheres (protocol "
+                             "default) or the outward unbounded-360 ring "
+                             "(use with the u360* families)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (smoke runs only — "
                              "protocol numbers are TPU)")
@@ -99,7 +126,8 @@ def main() -> None:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools",
                                           "make_synthetic_scene.py"),
-             args.scene, "--hw", str(args.hw), "--views", str(args.views)],
+             args.scene, "--hw", str(args.hw), "--views", str(args.views),
+             "--format", args.scene_format],
             check=True)
 
     # merge base <- family <- --extra as key/value pairs (later wins), so
