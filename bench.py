@@ -134,10 +134,12 @@ def main() -> None:
     parser.add_argument("--metric", type=str, default="train",
                         choices=["train", "render"],
                         help="train rays/sec (default) or 800x800 sec/frame")
-    parser.add_argument("--host-chunks", action="store_true",
+    parser.add_argument("--host-chunks", nargs="?", const=1, default=0,
+                        type=int, metavar="K",
                         help="render metric only: measure the serving path "
-                             "(one compiled program per pixel chunk, host "
-                             "loop) instead of the whole-frame program")
+                             "(host loop over one compiled program) instead "
+                             "of the whole-frame program; optional K = "
+                             "chunks folded per dispatch (default 1)")
     args = parser.parse_args()
     if args.host_chunks and args.metric != "render":
         parser.error("--host-chunks only applies to --metric render")
@@ -230,7 +232,7 @@ def main() -> None:
             "vs_baseline": round(REF_CPU_RENDER_SEC_PER_FRAME / sec, 2),
             "baseline_basis": "measured_reference_cpu_2184s_per_frame"}
         if args.host_chunks:
-            out["mode"] = "host_chunks"
+            out["mode"] = f"host_chunks_x{args.host_chunks}"
         print(json.dumps(out))
         return
 

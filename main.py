@@ -26,10 +26,12 @@ def main() -> None:
                         help="resolution multiplier for --mode=path")
     parser.add_argument("--depth", action="store_true",
                         help="also write per-view depth + opacity maps")
-    parser.add_argument("--host-chunks", action="store_true",
-                        help="render frames via the per-chunk host loop "
+    parser.add_argument("--host-chunks", nargs="?", const=1, default=0,
+                        type=int, metavar="K",
+                        help="render frames via the host-chunk loop "
                              "(seconds to first frame; avoids the one-time "
-                             "whole-frame XLA compile under PROPOSAL)")
+                             "whole-frame XLA compile under PROPOSAL); "
+                             "optional K folds K chunks per dispatch")
     args = parser.parse_args()
 
     if os.environ.get("TINYNERF_FORCE_CPU"):

@@ -75,6 +75,21 @@ def test_frame_fn_host_chunks_matches_lax_map(setup):
     for r, h in zip(ref_x, host_x):
         np.testing.assert_allclose(np.asarray(r), h, atol=1e-5)
 
+    # grouped serving dispatch (host_chunks=K>1): K chunks fold into one
+    # program via an inner lax.map — including when K doesn't divide the
+    # chunk count (padding chunks are dropped at assembly) and when K
+    # exceeds it (clamped to one whole-frame-sized group)
+    for k in (2, 3, 1000):
+        grp_fn = evallib.make_frame_fn(cfg, k_inv, table.height,
+                                       table.width, host_chunks=k)
+        np.testing.assert_allclose(ref, grp_fn(state.params, pose),
+                                   atol=1e-5)
+    grp_x = evallib.make_frame_fn(cfg, k_inv, table.height, table.width,
+                                  extras=True, host_chunks=3)(
+                                      state.params, pose)
+    for r, h in zip(ref_x, grp_x):
+        np.testing.assert_allclose(np.asarray(r), h, atol=1e-5)
+
 
 def test_render_test_set_artifacts(setup, tmp_path):
     table, k_inv = setup

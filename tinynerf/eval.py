@@ -137,26 +137,58 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                 "host_chunks frame mode is single-process (the serving "
                 "path passes process-local chunk arrays into the jit); pod "
                 "renders use the whole-frame lax.map path")
-        # Host-loop variant: ONE compiled program per pixel CHUNK instead of
-        # per frame. Steady-state is slower (a dispatch per chunk — ~22 ms
-        # each through the remote TPU tunnel), but time-to-first-frame drops
-        # from minutes to seconds under PROPOSAL, whose chunk body blows up
-        # the TPU backend's whole-frame fusion passes when wrapped in
+        # Host-loop variant: ONE compiled program per GROUP of pixel chunks
+        # instead of per frame. Time-to-first-frame drops from minutes to
+        # seconds under PROPOSAL, whose chunk body blows up the TPU
+        # backend's whole-frame fusion passes when wrapped in the 157-way
         # lax.map (the measured ~115-300 s one-time frame compile — see
-        # CLAUDE.md render-path notes). The interactive serving path
-        # (tools/serve_render.py) defaults to this mode.
-        jit_chunk = jax.jit(chunk_body, out_shardings=out_shardings)
+        # CLAUDE.md render-path notes). ``host_chunks`` as an int K > 1
+        # folds K chunks into each dispatch via a small lax.map — the
+        # body still compiles ONCE, but the ~22 ms remote-tunnel dispatch
+        # latency amortizes K-fold (VERDICT r3 #4: the gap between 0.363
+        # s/frame whole-frame and 5.4-5.8 s/frame K=1 was almost entirely
+        # dispatch count). The interactive serving path
+        # (tools/serve_render.py) uses this mode.
+        group = int(host_chunks) if not isinstance(host_chunks, bool) else 1
+        group = max(1, min(group, n_chunks))
+        n_groups = -(-n_chunks // group)
+        if n_chunks % group:  # pad with repeats; assembly drops past num_pix
+            pad_rows = np.concatenate(
+                [rows, np.repeat(rows[-1:], n_groups * group - n_chunks, 0)])
+            pad_cols = np.concatenate(
+                [cols, np.repeat(cols[-1:], n_groups * group - n_chunks, 0)])
+        else:
+            pad_rows, pad_cols = rows, cols
+        grp_rows = [jnp.asarray(pad_rows[g * group:(g + 1) * group])
+                    for g in range(n_groups)]
+        grp_cols = [jnp.asarray(pad_cols[g * group:(g + 1) * group])
+                    for g in range(n_groups)]
+
+        if group == 1:
+            jit_chunk = jax.jit(chunk_body, out_shardings=out_shardings)
+            run = lambda params, g, pose: jit_chunk(
+                params, grp_rows[g][0], grp_cols[g][0], pose)
+        else:
+            def group_body(params, r_g, c_g, pose17_row):
+                return jax.lax.map(
+                    lambda rc: chunk_body(params, rc[0], rc[1], pose17_row),
+                    (r_g, c_g))
+
+            jit_group = jax.jit(group_body, out_shardings=out_shardings)
+            run = lambda params, g, pose: jit_group(
+                params, grp_rows[g], grp_cols[g], pose)
 
         def frame_host(params, pose17_row):
-            outs = [jit_chunk(params, rows_d[i], cols_d[i], pose17_row)
-                    for i in range(n_chunks)]
+            outs = [run(params, g, pose17_row) for g in range(n_groups)]
             shp = (height, width)
             if extras:
                 cat = lambda j: np.concatenate(
-                    [np.asarray(o[j]) for o in outs])[:num_pix]
+                    [np.asarray(o[j]).reshape(-1) for o in outs]
+                )[:num_pix * (3 if j == 0 else 1)]
                 return (cat(0).reshape(*shp, 3), cat(1).reshape(shp),
                         cat(2).reshape(shp))
-            c_fine = np.concatenate([np.asarray(o) for o in outs])
+            c_fine = np.concatenate(
+                [np.asarray(o).reshape(-1, 3) for o in outs])
             return c_fine[:num_pix].reshape(*shp, 3)
 
         return frame_host

@@ -395,7 +395,7 @@ class Runner:
         return 1
 
     def display(self, max_views: Optional[int] = None,
-                depth: bool = False, host_chunks: bool = False) -> float:
+                depth: bool = False, host_chunks: int = 0) -> float:
         """Full-frame render of the test split -> JPGs + mp4; returns PSNR.
         ``depth=True`` also writes per-view depth + opacity maps;
         ``host_chunks=True`` renders via the per-chunk serving program
@@ -414,7 +414,7 @@ class Runner:
 
     def render_path_video(self, n_views: int = 120,
                           res_scale: float = 1.0,
-                          host_chunks: bool = False) -> None:
+                          host_chunks: int = 0) -> None:
         """Free-viewpoint video along a scene-appropriate camera path
         (spiral for llff, 360-degree orbit for sync). ``res_scale=2`` renders
         e.g. a 1600x1600-class spiral from 800-class training intrinsics."""

@@ -83,7 +83,7 @@ _SCALES = (0.125, 0.25, 0.5, 1.0, 2.0)
 class _Service:
     """Checkpoint + per-resolution compiled frame renderers."""
 
-    def __init__(self, cfg, runner, host_chunks: bool = True):
+    def __init__(self, cfg, runner, host_chunks: int = 8):
         self.cfg = cfg
         self.runner = runner
         self.host_chunks = host_chunks
@@ -261,6 +261,11 @@ def main() -> None:
                         help="whole-frame XLA programs instead of per-chunk "
                              "(faster steady-state, minutes-long first "
                              "compile under PROPOSAL)")
+    parser.add_argument("--chunk-group", type=int, default=8,
+                        help="pixel chunks folded per dispatch in serving "
+                             "mode (amortizes the ~22 ms tunnel latency "
+                             "K-fold at seconds-scale compile; measured "
+                             "sweet spot 8 — see VALIDATION.md round 4)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -278,7 +283,8 @@ def main() -> None:
             f"no checkpoint under {cfg.ckpt_path!r} — train first "
             f"(python main.py --conf=... --mode=train)")
 
-    svc = _Service(cfg, runner, host_chunks=not args.lax_map)
+    svc = _Service(cfg, runner,
+                   host_chunks=0 if args.lax_map else max(1, args.chunk_group))
     server = ThreadingHTTPServer((args.host, args.port), _make_handler(svc))
     print(f"serving {svc.info()['scene']} (iter {runner.last_iter}) "
           f"on http://{args.host}:{server.server_address[1]}/", flush=True)
