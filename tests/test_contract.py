@@ -182,3 +182,48 @@ def test_frame_render_unbounded_stack(table):
                                 jnp.asarray(np.asarray(table.poses)[0])))
     assert frame.shape == (table.height, table.width, 3)
     assert np.all(np.isfinite(frame))
+
+
+# ---------------------------------------------------------------------------
+# Outward-facing 360 capture end-to-end (VERDICT r3 #2): scene generator +
+# NEAR/FAR overrides + the full CONTRACT+LINDISP hybrid stack through the
+# Runner. TPU quality evidence lives in VALIDATION.md (u360 vs ablations);
+# this locks the mechanism on CPU.
+# ---------------------------------------------------------------------------
+
+def test_outward_360_scene_trains(tmp_path):
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from make_synthetic_scene import make_360_scene
+    finally:
+        sys.path.pop(0)
+    from tinynerf.config import Config
+    from tinynerf.runner import Runner
+
+    scene = str(tmp_path / "s360")
+    make_360_scene(scene, hw=16, views=3, val_views=2, test_views=2)
+    cfg = Config(
+        img_dir=scene, results_path=str(tmp_path / "res"),
+        ckpt_path=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "runs"),
+        total_iter=4, step=2, batch_ray=32, n_coarse=8, n_fine=8,
+        use_pallas=False, render_chunk=64, learning=2e-3,
+        near=0.1, far=80.0, contract=True, lindisp=True, stratified=True,
+        proposal=True, prop_field="grid", prop_grid_res=8,
+        prop_grid_comp_density=4, prop_grid_comp_app=4,
+        prop_grid_decoder_width=8, prop_grid_hybrid=True,
+        fine_field="grid", grid_hybrid=True, grid_res=16,
+        grid_comp_density=4, grid_comp_app=4, grid_decoder_width=8,
+        grid_extent=2.0)
+    runner = Runner(cfg)
+    # NEAR/FAR overrides reached every split's pose table (sync ingest
+    # hardcodes 2.0/6.0)
+    for table in (runner.train_table, runner.val_table, runner.test_table):
+        pb = np.asarray(table.poses)
+        assert float(pb[:, 15].max()) == pytest.approx(0.1)
+        assert float(pb[:, 16].min()) == pytest.approx(80.0)
+    runner.train("train")
+    psnr = runner.display(max_views=1)
+    assert np.isfinite(psnr) and psnr > 0.0

@@ -133,19 +133,36 @@ def make_llff_scene(out_dir: str, hw: int = 100, views: int = 20) -> None:
 # march is a fixed 2..6 box, nerf.py:288-295).
 RING_RADIUS = 0.3
 ENV_RADIUS = 60.0
-SPHERES_360 = [
-    # (center, radius, albedo) — azimuthally spread, two depth octaves
-    (np.array([2.5, 0.0, 0.0]), 0.8, np.array([0.85, 0.25, 0.20])),
-    (np.array([-1.8, 0.3, 1.8]), 0.7, np.array([0.20, 0.55, 0.90])),
-    (np.array([0.4, -0.4, -2.6]), 0.9, np.array([0.95, 0.80, 0.25])),
-    (np.array([-2.2, 0.5, -2.0]), 0.75, np.array([0.30, 0.80, 0.40])),
-    (np.array([5.5, 1.0, 4.5]), 1.6, np.array([0.75, 0.35, 0.85])),
-    (np.array([-6.0, -1.2, 3.5]), 1.8, np.array([0.25, 0.75, 0.75])),
-    (np.array([4.0, -0.8, -7.0]), 2.0, np.array([0.90, 0.55, 0.30])),
-    (np.array([-9.0, 2.0, -9.0]), 3.0, np.array([0.55, 0.60, 0.95])),
-    (np.array([14.0, 3.0, 6.0]), 3.5, np.array([0.80, 0.80, 0.60])),
-    (np.array([-5.0, 1.5, 15.0]), 4.0, np.array([0.60, 0.90, 0.50])),
-]
+
+
+def _spheres_360():
+    """Content in every direction across two depth octaves — like a real
+    360 capture (ground, trees, buildings), not an empty sky. Mid-range
+    (r ~2.5-20) dominates the pixel budget: that is where parallax across
+    the camera ring matters, i.e. where a direction-only (view-dependent
+    shortcut) model fails and actual spatial representation is required.
+    Deterministic (seeded) so every generated capture is identical."""
+    rng = np.random.default_rng(42)
+    spheres = [
+        # near anchors (hand-placed so the ring always has close geometry)
+        (np.array([2.5, 0.0, 0.0]), 0.8, np.array([0.85, 0.25, 0.20])),
+        (np.array([-1.8, 0.3, 1.8]), 0.7, np.array([0.20, 0.55, 0.90])),
+        (np.array([0.4, -0.4, -2.6]), 0.9, np.array([0.95, 0.80, 0.25])),
+        (np.array([-2.2, 0.5, -2.0]), 0.75, np.array([0.30, 0.80, 0.40])),
+    ]
+    for _ in range(28):
+        az = rng.uniform(0.0, 2 * np.pi)
+        el = np.deg2rad(rng.normal(0.0, 18.0))
+        r = float(np.exp(rng.uniform(np.log(3.0), np.log(20.0))))
+        d = np.array([np.sin(az) * np.cos(el), np.sin(el),
+                      np.cos(az) * np.cos(el)])
+        radius = r * rng.uniform(0.08, 0.18)  # ~constant angular size
+        albedo = rng.uniform(0.2, 0.95, size=3)
+        spheres.append((r * d, radius, albedo))
+    return spheres
+
+
+SPHERES_360 = _spheres_360()
 
 
 def _env_shell(dirs: np.ndarray) -> np.ndarray:

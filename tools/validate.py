@@ -90,7 +90,12 @@ _U360_BASE = ("PROPOSAL = True\nFINE_FIELD = grid\nGRID_HYBRID = True\n"
               "PROP_GRID_HYBRID = True\nGRID_RES = 384\n"
               "GRID_COMP_DENSITY = 64\nGRID_COMP_APP = 64\n"
               "GRID_DECODER_WIDTH = 128\nGRID_LR_MULT = 20\nGRID_TV = 0.1\n"
-              "STRATIFIED = True\nNEAR = 0.1\nFAR = 80\n")
+              # NEAR sets the lindisp anchor: it must sit just inside the
+              # nearest content (~1.7 world units on the generated capture)
+              # or disparity spacing wastes most of the march in empty
+              # space (near=0.1 put HALF the samples inside r<0.2 —
+              # measured -1.3 dB on the v1 capture)
+              "STRATIFIED = True\nNEAR = 1.0\nFAR = 80\n")
 FAMILY["u360"] = (_U360_BASE
                   + "CONTRACT = True\nLINDISP = True\nGRID_EXTENT = 2.0\n")
 FAMILY["u360_nowarp"] = _U360_BASE + "GRID_EXTENT = 2.0\n"
