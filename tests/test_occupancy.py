@@ -227,3 +227,161 @@ def test_train_step_with_occ_grid(sync_scene_dir):
     raw = np.asarray(state.occ.raw)
     assert np.isfinite(raw).any() and not np.isnan(raw).any()
     assert not np.isnan(np.asarray(state.occ.density)).any()
+
+
+# ---------------------------------------------------------------------------
+# Contracted occupancy grid (CONTRACT scenes, round 4): cells live in the
+# radius-2 contraction ball; probes march in disparity.
+# ---------------------------------------------------------------------------
+
+def test_inv_contract_roundtrip():
+    from tinynerf.core.contract import contract_mip360, inv_contract_mip360
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-40, 40, (256, 3)),
+                      jnp.float32)
+    c = contract_mip360(pts)
+    assert float(jnp.max(jnp.linalg.norm(c, axis=-1))) < 2.0
+    back = inv_contract_mip360(c)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts),
+                               rtol=2e-3, atol=1e-3)
+    # inside the unit ball both maps are the identity
+    inner = jnp.asarray([[0.3, -0.2, 0.1]])
+    np.testing.assert_allclose(np.asarray(inv_contract_mip360(inner)),
+                               np.asarray(inner), rtol=1e-6)
+    # at/past the boundary the inverse clamps to a finite radius
+    edge = inv_contract_mip360(jnp.asarray([[2.0, 0.0, 0.0]]))
+    assert np.isfinite(np.asarray(edge)).all()
+
+
+def _wrap_world_field(world_field):
+    """Production shape: the inner field is parameterized in CONTRACTED
+    coordinates (a GRID_EXTENT=2 grid), and wrap_field_contract turns it
+    into a world-coordinate field. For an analytic WORLD-space field, the
+    contracted-coordinate inner field is world(inv(c))."""
+    from tinynerf.core.contract import (inv_contract_mip360,
+                                        wrap_field_contract)
+
+    def inner(params, pts_c, dirs):
+        return world_field(params, inv_contract_mip360(pts_c), dirs)
+
+    return wrap_field_contract(inner)
+
+
+def test_contracted_update_marks_far_sphere():
+    """A sphere at world r=5 (outside any bounded extent) must mark the
+    contracted cells around contract(5*e_x) (|c| = 2 - 1/5 = 1.8) when the
+    grid refreshes through the CONTRACTING field wrapper. Radius 2 so its
+    contracted image (~2*2/25 = 0.16 thick) spans at least one res-32
+    cell (0.125) — content much smaller than its squared distance is
+    sub-cell in contracted space, the documented thin-content caveat."""
+    from tinynerf.core.contract import contract_mip360
+    world_field = _sphere_field(center=(5.0, 0.0, 0.0), radius=2.0)
+    wrapped = _wrap_world_field(world_field)
+
+    grid = occupancy.init_grid(resolution=32, half_extent=2.0)
+    grid = occupancy.update_grid(grid, None, wrapped, jax.random.PRNGKey(1),
+                                 ema=0.0, contract=True)
+    occ = np.asarray(grid.density > float(grid.threshold))
+    centers = np.asarray(occupancy.cell_centers(32, grid.half_extent))
+    occ_flat = occ.reshape(-1)
+    c_target = np.asarray(contract_mip360(jnp.asarray([[5.0, 0.0, 0.0]])))[0]
+    near_target = np.linalg.norm(centers - c_target, axis=1) < 0.15
+    assert occ_flat[near_target].any()
+    # contracted cells far from the sphere's image stay empty (e.g. the
+    # opposite direction)
+    opposite = np.linalg.norm(centers - (-c_target), axis=1) < 0.3
+    assert not occ_flat[opposite].any()
+
+
+def test_contracted_tighten_never_excludes_surface():
+    """The tightened [near, far] must contain every analytic sphere
+    intersection, for rays from an origin ring through a scene spanning
+    two depth octaves — the empirical soundness check backing
+    derive_march_steps_contracted's tangential-motion caveat."""
+    rng = np.random.default_rng(7)
+    # every sphere's contracted thickness (~2*radius/r^2) spans >= 1
+    # res-32 cell — the regime the grid is sound for (thin-at-distance
+    # content relies on jittered-probe EMA + dilation, tested in training)
+    spheres = [((5.0, 0.0, 0.0), 2.0), ((-2.5, 0.5, 0.0), 0.8),
+               ((0.0, 0.0, -6.0), 2.5), ((12.0, 2.0, 12.0), 10.0)]
+
+    def world_field(params, points, dirs):
+        s = jnp.zeros(points.shape[:-1] + (1,))
+        for c, r in spheres:
+            dist = jnp.linalg.norm(points - jnp.asarray(c), axis=-1,
+                                   keepdims=True)
+            s = jnp.maximum(s, jnp.where(dist < r, 5.0, 0.0))
+        return jnp.ones(points.shape[:-1] + (3,)), s
+
+    wrapped = _wrap_world_field(world_field)
+    grid = occupancy.init_grid(resolution=32, half_extent=2.0)
+    for i in range(8):  # repeated jittered sweeps (hits persist via EMA)
+        grid = occupancy.update_grid(grid, None, wrapped,
+                                     jax.random.PRNGKey(i), ema=0.5,
+                                     contract=True)
+
+    n = 512
+    origins = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+    near = jnp.full((n,), 1.0)
+    far = jnp.full((n,), 80.0)
+    n_steps = occupancy.derive_march_steps_contracted(32, 1.0, 80.0)
+    nn, nf = occupancy.tighten_bounds(grid, origins, dirs, near, far,
+                                      n_steps=n_steps, contract=True,
+                                      lindisp=True)
+    nn, nf = np.asarray(nn), np.asarray(nf)
+    # analytic first/last intersections per ray
+    o = np.asarray(origins)
+    for ci, r in spheres:
+        oc = o - np.asarray(ci)
+        b = np.sum(oc * d, axis=1)
+        disc = b * b - (np.sum(oc * oc, axis=1) - r * r)
+        hit = disc > 0
+        t0 = -b - np.sqrt(np.maximum(disc, 0))
+        t1 = -b + np.sqrt(np.maximum(disc, 0))
+        valid = hit & (t0 > 1.0) & (t0 < 80.0)
+        assert (nn[valid] <= t0[valid] + 1e-3).all(), "entry excluded"
+        assert (nf[valid] >= np.minimum(t1[valid], 80.0) - 1e-3).all(), \
+            "exit excluded"
+    # and it actually TIGHTENS: rays pointing at empty sky collapse
+    assert (nf - nn < 79.0).any()
+
+
+def test_runner_360_with_contracted_occ(tmp_path):
+    """End-to-end: the u360 stack + OCC_GRID trains and renders through the
+    Runner (guards: lindisp required, extent forced to 2)."""
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from make_synthetic_scene import make_360_scene
+    finally:
+        sys.path.pop(0)
+    from tinynerf.runner import Runner
+
+    scene = str(tmp_path / "s360occ")
+    make_360_scene(scene, hw=16, views=3, val_views=2, test_views=2)
+    kw = dict(
+        img_dir=scene, results_path=str(tmp_path / "res"),
+        ckpt_path=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "runs"),
+        total_iter=4, step=2, batch_ray=32, n_coarse=8, n_fine=8,
+        use_pallas=False, render_chunk=64, learning=2e-3,
+        near=1.0, far=80.0, contract=True, lindisp=True,
+        proposal=True, prop_field="grid", prop_grid_res=8,
+        prop_grid_comp_density=4, prop_grid_comp_app=4,
+        prop_grid_decoder_width=8,
+        fine_field="grid", grid_res=16, grid_comp_density=4,
+        grid_comp_app=4, grid_decoder_width=8, grid_extent=2.0,
+        occ_grid=True, occ_res=16, occ_extent=1.5,  # 1.5 -> forced to 2
+        occ_update_every=2, occ_subset=1.0, white_bkgd=True)
+    with pytest.raises(ValueError, match="requires LINDISP"):
+        Runner(Config(**{**kw, "lindisp": False}))
+    runner = Runner(Config(**kw))
+    assert float(runner.cfg.occ_extent) == 2.0
+    assert runner.cfg.occ_march_steps >= 64
+    runner.train("train")
+    assert np.isfinite(np.asarray(runner.state.occ.raw)).any()
+    psnr = runner.display(max_views=1)
+    assert np.isfinite(psnr)

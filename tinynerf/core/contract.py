@@ -49,6 +49,24 @@ def contract_mip360(points: jnp.ndarray) -> jnp.ndarray:
     return (pts * scale).astype(points.dtype)
 
 
+def inv_contract_mip360(c: jnp.ndarray, max_norm: float = 1.99
+                        ) -> jnp.ndarray:
+    """Inverse of :func:`contract_mip360`: (..., 3) contracted-ball points
+    -> world points. Identity inside the unit ball; outside,
+    ``|x| = 1 / (2 - |c|)`` along the same ray. ``|c|`` clamps to
+    ``max_norm`` (1.99 -> world radius 100): points at/past the radius-2
+    boundary are "at infinity" and map to a far but finite probe radius.
+    Used by the contracted occupancy grid, whose cells live in the
+    contracted ball but whose field probes happen through the contracting
+    field wrapper (world in -> contract -> field), so
+    ``field(inv_contract(c))`` evaluates the raw field exactly at ``c``."""
+    c = c.astype(jnp.float32)
+    n = jnp.sqrt(jnp.maximum(jnp.sum(c * c, axis=-1, keepdims=True), 1e-12))
+    n_cl = jnp.minimum(n, max_norm)
+    scale = jnp.where(n <= 1.0, 1.0, 1.0 / ((2.0 - n_cl) * n_cl))
+    return c * scale
+
+
 def wrap_field_contract(field_fn):
     """Wrap a point-interface FieldFn so it evaluates at contracted points.
 

@@ -62,7 +62,7 @@ def _dilate(raw: jnp.ndarray) -> jnp.ndarray:
 def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
                 ema: float = 0.8, chunk: int = 65536,
                 subset: Optional[int] = None,
-                cell_sharding=None) -> OccGrid:
+                cell_sharding=None, contract: bool = False) -> OccGrid:
     """EMA-update the grid from the current field (one jittered sample per
     cell), then re-derive the dilated query grid.
 
@@ -76,12 +76,23 @@ def update_grid(grid: OccGrid, params, field_fn, key: jax.Array,
     train step's ray sharding) constrains the probe points so XLA
     partitions the field evals across the mesh — without it the refresh
     replicates R^3 MLP evals on every device of a pod.
+
+    ``contract=True`` (unbounded-360 scenes, CONTRACT): the grid's cells
+    live in the CONTRACTED radius-2 ball (``half_extent`` must be 2), but
+    ``field_fn`` is the contracting wrapper taking WORLD points — so each
+    probe maps its cell center back through the inverse contraction
+    (core/contract.py) and the wrapper's forward warp lands exactly on the
+    cell. Cells outside the reachable ball (cube corners, |c| >= 2) probe
+    at the "infinity" clamp radius and read the far field there.
     """
     res = grid.density.shape[0]
     n_total = res ** 3
     cell = 2.0 * grid.half_extent / res
 
     def eval_sigma(p):
+        if contract:
+            from tinynerf.core.contract import inv_contract_mip360
+            p = inv_contract_mip360(p)
         _c, sigma = field_fn(params, p, jnp.broadcast_to(
             jnp.array([0.0, 0.0, 1.0], p.dtype), p.shape))
         return jnp.squeeze(sigma, axis=-1)
@@ -137,9 +148,27 @@ def derive_march_steps(resolution: int, half_extent: float, ray_span: float,
     return max(64, needed)
 
 
+def derive_march_steps_contracted(resolution: int, near: float,
+                                  far: float, safety: float = 1.25) -> int:
+    """Probe count for the CONTRACTED grid's disparity-spaced march.
+
+    Disparity-uniform probes have (exactly) uniform contracted-RADIAL
+    spacing ``(1/near - 1/far) / n`` (for ``t > 1``, ``r_c = 2 - 1/t``),
+    so the 3-cell dilation margin ``6 * 2 / resolution`` bounds ``n`` the
+    same way the linear march's bound works for bounded grids. Tangential
+    contracted motion is not bounded by disparity spacing in theory; the
+    3x3x3 dilation plus the per-probe local-spacing margin absorb it in
+    practice (asserted empirically by tests/test_occupancy.py's
+    never-excludes-occupied test on contracted scenes)."""
+    span = 1.0 / max(near, 1e-6) - 1.0 / max(far, 1e-6)
+    margin = 6.0 * 2.0 / resolution
+    return max(64, int(-(-span * safety // margin)))
+
+
 def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
                    near: jnp.ndarray, far: jnp.ndarray,
                    n_steps: Optional[int] = None,
+                   contract: bool = False, lindisp: bool = False,
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-ray [near, far] -> the sub-interval covering occupied cells.
 
@@ -162,8 +191,21 @@ def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
     if n_steps is None:
         n_steps = max(64, res)
     frac = (jnp.arange(n_steps, dtype=jnp.float32) + 0.5) / n_steps
-    ts = near[:, None] + (far - near)[:, None] * frac[None, :]     # (B, S)
+    if lindisp:
+        # disparity-spaced probes (matches LINDISP sampling; under
+        # CONTRACT this is what keeps contracted-radial probe spacing
+        # uniform — see derive_march_steps_contracted). Needs near > 0,
+        # the same precondition LINDISP itself carries.
+        ts = 1.0 / (1.0 / near[:, None]
+                    + (1.0 / far - 1.0 / near)[:, None] * frac[None, :])
+    else:
+        ts = near[:, None] + (far - near)[:, None] * frac[None, :]  # (B, S)
     pts = origins[:, None, :] + ts[..., None] * dirs[:, None, :]    # (B, S, 3)
+    if contract:
+        # the grid's cells live in the contracted radius-2 ball: warp the
+        # probe positions exactly like the field wrapper warps its inputs
+        from tinynerf.core.contract import contract_mip360
+        pts = contract_mip360(pts)
 
     idx = jnp.floor((pts / grid.half_extent * 0.5 + 0.5) * res).astype(jnp.int32)
     inside = jnp.all((idx >= 0) & (idx < res), axis=-1)
@@ -176,10 +218,25 @@ def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
     # occupied cell's boundary stay inside the tightened interval even when
     # probe spacing is finer than the cell size
     cell_diag = 2.0 * grid.half_extent / res * jnp.sqrt(3.0)
-    step = jnp.maximum((far - near) / n_steps, cell_diag)
     big = jnp.float32(3.4e38)
-    t_enter = jnp.min(jnp.where(occ, ts, big), axis=1) - step
-    t_exit = jnp.max(jnp.where(occ, ts, -big), axis=1) + step
+    if lindisp:
+        # probe spacing varies along a disparity march: margin each
+        # occupied probe by its LOCAL spacing (one-sided diffs), with the
+        # cell diagonal as the floor only where contraction is off (under
+        # contract the world-space cell size is position-dependent and the
+        # local spacing is the honest bound)
+        dt = jnp.diff(ts, axis=1)
+        dt_left = jnp.concatenate([dt[:, :1], dt], axis=1)
+        dt_right = jnp.concatenate([dt, dt[:, -1:]], axis=1)
+        if not contract:
+            dt_left = jnp.maximum(dt_left, cell_diag)
+            dt_right = jnp.maximum(dt_right, cell_diag)
+        t_enter = jnp.min(jnp.where(occ, ts - dt_left, big), axis=1)
+        t_exit = jnp.max(jnp.where(occ, ts + dt_right, -big), axis=1)
+    else:
+        step = jnp.maximum((far - near) / n_steps, cell_diag)
+        t_enter = jnp.min(jnp.where(occ, ts, big), axis=1) - step
+        t_exit = jnp.max(jnp.where(occ, ts, -big), axis=1) + step
     hit = jnp.any(occ, axis=1)
     new_near = jnp.where(hit, jnp.maximum(t_enter, near), far - 1e-3)
     new_far = jnp.where(hit, jnp.minimum(t_exit, far), far)

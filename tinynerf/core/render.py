@@ -184,6 +184,7 @@ def render_rays(params: mlp.Params,
                 white_bkgd: bool = False,
                 occ_grid=None,
                 occ_march: Optional[int] = None,
+                occ_contract: bool = False,
                 extras: bool = False,
                 prop_params=None,
                 prop_field_fn: Optional[FieldFn] = None,
@@ -273,8 +274,13 @@ def render_rays(params: mlp.Params,
         # empty-space skipping: concentrate the (static) sample budget on the
         # occupied sub-interval of each ray (tinynerf/core/occupancy.py)
         from tinynerf.core.occupancy import tighten_bounds
+        # occ_contract: the grid's cells live in the contracted ball
+        # (CONTRACT scenes); the probe march is disparity-spaced whenever
+        # the sampling is (lindisp), keeping contracted-radial probe
+        # spacing uniform
         near, far = tighten_bounds(occ_grid, origins, dirs, near, far,
-                                   n_steps=occ_march)
+                                   n_steps=occ_march,
+                                   contract=occ_contract, lindisp=lindisp)
     if ndc_params is not None:
         ndc_h, ndc_w, ndc_f = ndc_params
         origins, dirs = raylib.ndc_rays(ndc_h, ndc_w, ndc_f, 1.0,

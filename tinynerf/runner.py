@@ -82,6 +82,23 @@ class Runner:
              float(self.train_table.focal))
             if cfg.ndc and cfg.data_type == "llff" else None)
 
+        if cfg.occ_grid and cfg.contract:
+            # contracted occupancy grid (unbounded-360 + empty-space
+            # skipping): cells live in the radius-2 contraction ball and
+            # the probe march is disparity-spaced (core/occupancy.py).
+            # Must run BEFORE init_state builds the grid.
+            if not cfg.lindisp:
+                raise ValueError(
+                    "OCC_GRID with CONTRACT requires LINDISP: only a "
+                    "disparity-spaced probe march keeps contracted-radial "
+                    "probe spacing within the grid's dilation margin over "
+                    "an unbounded depth range.")
+            if float(cfg.occ_extent) != 2.0:
+                print(f"NOTE: OCC_EXTENT={cfg.occ_extent} overridden to 2.0 "
+                      "— under CONTRACT the occupancy grid spans the "
+                      "contracted radius-2 ball")
+                cfg.occ_extent = 2.0
+
         # --- state (fresh or resumed-latest, reference nerf.py:402-420) ---
         self.last_iter = -1
         params = opt_state = saved_key = saved_occ = None
@@ -108,11 +125,18 @@ class Runner:
         if cfg.occ_grid and cfg.occ_march_steps is None:
             # probe count must out-resolve the 3-cell dilation margin for
             # this scene's actual ray span (core/occupancy.py)
-            from tinynerf.core.occupancy import derive_march_steps
             pb = np.asarray(self.train_table.poses)
-            cfg.occ_march_steps = derive_march_steps(
-                cfg.occ_res, cfg.occ_extent,
-                float(np.max(pb[:, 16] - pb[:, 15])))
+            if cfg.contract:
+                from tinynerf.core.occupancy import (
+                    derive_march_steps_contracted)
+                cfg.occ_march_steps = derive_march_steps_contracted(
+                    cfg.occ_res, float(np.min(pb[:, 15])),
+                    float(np.max(pb[:, 16])))
+            else:
+                from tinynerf.core.occupancy import derive_march_steps
+                cfg.occ_march_steps = derive_march_steps(
+                    cfg.occ_res, cfg.occ_extent,
+                    float(np.max(pb[:, 16] - pb[:, 15])))
 
         if cfg.occ_grid and cfg.data_type == "sync" and not cfg.white_bkgd:
             raise ValueError(
@@ -190,6 +214,7 @@ class Runner:
                     ndc_params=self.ndc_params, merge_impl="twolist",
                     white_bkgd=cfg.white_bkgd, occ_grid=occ,
                     occ_march=cfg.occ_march_steps,
+                    occ_contract=cfg.contract,
                     prop_params=trainlib.prop_params(cfg, params),
                     prop_field_fn=prop_fn, lindisp=cfg.lindisp)
                 return jnp.mean(jnp.square(c_fi - b.rgb))

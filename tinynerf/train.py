@@ -332,7 +332,7 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             key=key if cfg.stratified else None,
             compat_sort=cfg.compat_sort, ndc_params=ndc_params,
             white_bkgd=cfg.white_bkgd, occ_grid=occ,
-            occ_march=cfg.occ_march_steps,
+            occ_march=cfg.occ_march_steps, occ_contract=cfg.contract,
             prop_params=prop_params(cfg, params), prop_field_fn=prop_fn,
             want_dist=want_dist, want_interlevel=want_il,
             lindisp=cfg.lindisp)
@@ -366,7 +366,8 @@ def _maybe_update_occ(cfg: Config, state: TrainState, field_fn, key,
 
     def do(g):
         return update_grid(g, net_params(cfg, state.params), field_fn, key,
-                           subset=subset, cell_sharding=cell_sharding)
+                           subset=subset, cell_sharding=cell_sharding,
+                           contract=cfg.contract)
 
     return jax.lax.cond(
         state.iteration % cfg.occ_update_every == 0, do, lambda g: g,

@@ -98,6 +98,10 @@ _U360_BASE = ("PROPOSAL = True\nFINE_FIELD = grid\nGRID_HYBRID = True\n"
               "STRATIFIED = True\nNEAR = 1.0\nFAR = 80\n")
 FAMILY["u360"] = (_U360_BASE
                   + "CONTRACT = True\nLINDISP = True\nGRID_EXTENT = 2.0\n")
+# + contracted occupancy grid (cells in the radius-2 ball, disparity march)
+FAMILY["u360_occ"] = (FAMILY["u360"]
+                      + "OCC_GRID = True\nOCC_RES = 64\nWHITE_BKGD = True\n"
+                      + "OCC_UPDATE_EVERY = 256\nOCC_SUBSET = 0.125\n")
 FAMILY["u360_nowarp"] = _U360_BASE + "GRID_EXTENT = 2.0\n"
 FAMILY["u360_bigbox"] = _U360_BASE + "GRID_EXTENT = 80.0\n"
 
