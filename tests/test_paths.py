@@ -167,3 +167,61 @@ def test_sharded_path_render_matches_unsharded(sync_scene_dir, tmp_path,
     assert sharded.shape == (2, 24, 24, 3)
     # partitioned reductions reassociate fp: observed max |delta| ~3e-5
     np.testing.assert_allclose(sharded, plain, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Outward-facing (unbounded-360) rig paths — round 4
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pose_rows_360(tmp_path_factory):
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    try:
+        from make_synthetic_scene import make_360_scene
+    finally:
+        sys.path.pop(0)
+    root = str(tmp_path_factory.mktemp("s360_paths"))
+    make_360_scene(root, hw=12, views=6, val_views=2, test_views=2)
+    return load_scene(root, "sync", "train").poses_bounds
+
+
+def test_is_outward_rig(pose_rows, pose_rows_360):
+    assert not paths.is_outward_rig(pose_rows)       # inward orbit capture
+    assert paths.is_outward_rig(pose_rows_360)       # outward ring capture
+
+
+def test_pan_path_and_dispatch(pose_rows_360):
+    rows = paths.pan_path(pose_rows_360, n_views=12)
+    _check_rows(rows, 12)
+    c2ws = rows[:, :15].reshape(-1, 3, 5)[:, :, :4]
+    centers = c2ws[:, :, 3]
+    # cameras stay ON the small ring...
+    radii = np.linalg.norm(centers, axis=1)
+    np.testing.assert_allclose(radii, radii[0], rtol=1e-6)
+    assert radii[0] < 1.0
+    # ...and look OUTWARD (back axis anti-aligned with position direction)
+    ok = radii > 1e-6
+    align = np.sum(c2ws[ok, :, 2] * (centers[ok] / radii[ok, None]), axis=1)
+    assert (align < -0.3).all()
+    # make_path auto-selects the pan for outward rigs
+    auto = paths.make_path(pose_rows_360, "sync", n_views=12)
+    np.testing.assert_allclose(auto, rows)
+    # near/far carried from the capture (NEAR/FAR overrides ride the rows)
+    assert np.all(rows[:, 15] < rows[:, 16])
+
+
+def test_free_pose_dispatch(pose_rows, pose_rows_360):
+    inward = paths.free_pose(pose_rows, 45.0, elev_deg=-20.0)
+    np.testing.assert_allclose(
+        inward, paths.orbit_pose(pose_rows, 45.0, elev_deg=-20.0))
+    out = paths.free_pose(pose_rows_360, 90.0, elev_deg=10.0)
+    _check_rows(out[None], 1)
+    c2w = out[:15].reshape(3, 5)[:, :4]
+    # look direction tilts up by ~10 degrees, position stays on the ring
+    look = -c2w[:, 2]
+    np.testing.assert_allclose(np.rad2deg(np.arcsin(look[1])), 10.0,
+                               atol=0.5)
+    assert np.linalg.norm(c2w[:, 3]) < 1.0

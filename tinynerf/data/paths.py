@@ -1,12 +1,14 @@
 """Free-viewpoint camera paths for video rendering (beyond the reference,
 which only replays the test split, ``nerf.py:503-530``).
 
-Two scene-appropriate generators, both emitting the framework's native
+Three scene-appropriate generators, all emitting the framework's native
 (N, 17) pose-row format so the render stack consumes them unchanged:
 
 - :func:`orbit_path` — a constant-radius 360-degree orbit looking at the
   origin, matched to the training cameras' radius/elevation (Blender-style
   inward-facing rigs);
+- :func:`pan_path` — a 360-degree outward pan from the training ring for
+  unbounded-360 captures (auto-selected via :func:`is_outward_rig`);
 - :func:`spiral_path` — the standard LLFF spiral around the average camera
   for forward-facing captures, with degeneracy fallbacks so an inward 360
   rig still produces well-formed poses.
@@ -98,6 +100,74 @@ def orbit_pose(pose_rows: np.ndarray, theta_deg: float,
     return _rows_from_c2ws(c2w[None], hwf * res_scale, near, far)[0]
 
 
+def is_outward_rig(pose_rows: np.ndarray) -> bool:
+    """True when the training cameras look AWAY from the origin (an
+    unbounded-360 capture: a ring near the center looking out), detected
+    from the mean alignment of each camera's back axis with its position
+    direction — inward orbit rigs score ~+1 (back == pos/|pos|), outward
+    rings ~-1, forward-facing rigs ~0."""
+    c2ws, _hwf, _near, _far = _split_rows(np.asarray(pose_rows, np.float64))
+    centers = c2ws[:, :, 3]
+    norms = np.linalg.norm(centers, axis=1)
+    ok = norms > 1e-6
+    if not ok.any():
+        return False
+    align = np.sum(c2ws[ok, :, 2] * (centers[ok] / norms[ok, None]), axis=1)
+    return float(align.mean()) < -0.3
+
+
+def _pan_geometry(pose_rows: np.ndarray):
+    """Outward-ring fit: (ring radius, mean look elevation, hwf, near, far)."""
+    c2ws, hwf, near, far = _split_rows(np.asarray(pose_rows, np.float64))
+    centers = c2ws[:, :, 3]
+    radius = float(np.linalg.norm(centers, axis=1).mean())
+    look = -c2ws[:, :, 2]
+    elev = float(np.arcsin(np.clip(look[:, 1], -1.0, 1.0)).mean())
+    return radius, float(np.clip(elev, -1.4, 1.4)), hwf, near, far
+
+
+def _pan_c2w(radius: float, theta: float, elev: float) -> np.ndarray:
+    """Camera ON the ring at azimuth theta, looking OUTWARD along it."""
+    up = np.array([0.0, 1.0, 0.0])
+    direction = np.array([np.sin(theta) * np.cos(elev),
+                          np.sin(elev),
+                          np.cos(theta) * np.cos(elev)])
+    pos = radius * np.array([np.sin(theta), 0.0, np.cos(theta)])
+    return view_matrix(-direction, up, pos)
+
+
+def pan_path(pose_rows: np.ndarray, n_views: int = 120,
+             res_scale: float = 1.0) -> np.ndarray:
+    """360-degree outward pan from the training ring — the natural video
+    path for unbounded-360 captures (an orbit_path would look INWARD at
+    the camera ring and render nothing). Selected automatically by
+    :func:`make_path` / :func:`free_pose` via :func:`is_outward_rig`."""
+    radius, elev, hwf, near, far = _pan_geometry(pose_rows)
+    out = np.zeros((n_views, 3, 4))
+    for i, theta in enumerate(np.linspace(0.0, 2.0 * np.pi, n_views,
+                                          endpoint=False)):
+        out[i] = _pan_c2w(radius, theta, elev)
+    return _rows_from_c2ws(out, hwf * res_scale, near, far)
+
+
+def free_pose(pose_rows: np.ndarray, theta_deg: float,
+              elev_deg: Optional[float] = None, radius_scale: float = 1.0,
+              res_scale: float = 1.0) -> np.ndarray:
+    """ONE rig-appropriate free-viewpoint pose row (the interactive-viewer
+    parameterization): outward pan on 360 rings, origin-looking orbit
+    otherwise. On rings, ``radius_scale`` slides the camera along the ring
+    radius (bounds already span the scene, so near/far stay put) and
+    ``elev_deg`` tilts the LOOK direction, not the position."""
+    if not is_outward_rig(pose_rows):
+        return orbit_pose(pose_rows, theta_deg, elev_deg=elev_deg,
+                          radius_scale=radius_scale, res_scale=res_scale)
+    radius, elev, hwf, near, far = _pan_geometry(pose_rows)
+    if elev_deg is not None:
+        elev = float(np.clip(np.deg2rad(elev_deg), -1.4, 1.4))
+    c2w = _pan_c2w(radius * float(radius_scale), np.deg2rad(theta_deg), elev)
+    return _rows_from_c2ws(c2w[None], hwf * res_scale, near, far)[0]
+
+
 def spiral_path(pose_rows: np.ndarray, n_views: int = 120,
                 res_scale: float = 1.0, rots: float = 2.0,
                 zrate: float = 0.5) -> np.ndarray:
@@ -138,7 +208,10 @@ def spiral_path(pose_rows: np.ndarray, n_views: int = 120,
 def make_path(pose_rows: np.ndarray, data_type: str, n_views: int = 120,
               res_scale: float = 1.0) -> np.ndarray:
     """Scene-appropriate path: spiral for forward-facing llff captures,
-    orbit for inward-facing synthetic rigs."""
+    outward pan for unbounded-360 rings, orbit for inward-facing
+    synthetic rigs."""
     if data_type == "llff":
         return spiral_path(pose_rows, n_views, res_scale=res_scale)
+    if is_outward_rig(pose_rows):
+        return pan_path(pose_rows, n_views, res_scale=res_scale)
     return orbit_path(pose_rows, n_views, res_scale=res_scale)

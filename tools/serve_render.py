@@ -106,8 +106,10 @@ class _Service:
                 self._spiral = (scale, paths.spiral_path(
                     self._rows(), n_views=120, res_scale=scale))
             return self._spiral[1][int(theta / 360.0 * 120) % 120]
-        return paths.orbit_pose(self._rows(), theta, elev_deg=elev,
-                                radius_scale=radius, res_scale=scale)
+        # rig-aware: outward pan for unbounded-360 rings, inward orbit
+        # for Blender-style rigs
+        return paths.free_pose(self._rows(), theta, elev_deg=elev,
+                               radius_scale=radius, res_scale=scale)
 
     def frame_fn(self, hwf, extras: bool = False):
         from tinynerf import eval as evallib
