@@ -457,6 +457,28 @@ def test_levels_tv_and_lr_scale_cover_pyramid():
     assert float(gridfield.tv_loss(bumped)) > tv0
 
 
+def test_level_lr_scales_per_level():
+    """GRID_LEVEL_LR routes a geometric per-level factor onto pyramid
+    tables only: level l trains at grid_lr_mult * level_lr**l."""
+    cfg = _cfg(grid_levels=3, grid_level_lr=0.5)
+    state = trainlib.init_state(cfg)
+    scale = trainlib.make_lr_scale(cfg, state.params)
+    for ax in ("x", "y", "z"):
+        assert scale["net"]["lines"][ax] == cfg.grid_lr_mult
+        assert scale["net"]["lines"][f"{ax}1"] == cfg.grid_lr_mult * 0.5
+        assert scale["net"]["lines"][f"{ax}2"] == cfg.grid_lr_mult * 0.25
+    # non-line leaves (decoder, prop subtree) stay at the base rate
+    assert scale["net"]["decoder"]["hidden"]["w"] == 1.0
+    # level_lr alone (grid_lr_mult=1) still produces a scale tree
+    cfg1 = _cfg(grid_levels=2, grid_lr_mult=1.0, grid_level_lr=4.0)
+    state1 = trainlib.init_state(cfg1)
+    scale1 = trainlib.make_lr_scale(cfg1, state1.params)
+    assert scale1["net"]["lines"]["x"] == 1.0
+    assert scale1["net"]["lines"]["x1"] == 4.0
+    # and the default stays None (single-LR torch-exact path)
+    assert trainlib.make_lr_scale(Config(), state.params) is None
+
+
 def test_levels_upsample_rejected():
     p = gridfield.init_grid_field(jax.random.PRNGKey(0), res=16,
                                   n_density=2, n_app=2, levels=2)

@@ -140,6 +140,16 @@ class Config:
                                       # 20 measured best on the 20k-iter
                                       # validation sweep: 27.1 dB vs 24.6
                                       # at 40 and 26.1 at 10, VALIDATION.md)
+    grid_level_lr: float = 1.0        # per-level LR factor on pyramid
+                                      # tables (GRID_LEVELS>1): level l
+                                      # trains at grid_lr_mult *
+                                      # grid_level_lr**l. >1 boosts the
+                                      # zero-init coarse levels (they must
+                                      # relearn through 2x-support hats —
+                                      # the measured 20k regression), <1
+                                      # damps their late-schedule
+                                      # gradients (the levels=3
+                                      # convergence blur). 1 = uniform.
     grid_sigma_width: int = 0         # GRID_HYBRID sigma-net hidden width
                                       # (0 = grid_decoder_width)
     grid_hybrid: bool = False         # NGP-style tiny density MLP on the
@@ -204,8 +214,8 @@ _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "PROP_GRID_COMP_APP", "PROP_GRID_DECODER_WIDTH",
              "GRID_SIGMA_WIDTH"}
 _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
-               "OCC_SUBSET", "GRID_EXTENT", "GRID_LR_MULT", "GRID_TV",
-               "DIST_LOSS", "PROP_INTERLEVEL", "NEAR", "FAR"}
+               "OCC_SUBSET", "GRID_EXTENT", "GRID_LR_MULT", "GRID_LEVEL_LR",
+               "GRID_TV", "DIST_LOSS", "PROP_INTERLEVEL", "NEAR", "FAR"}
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
               "PROPOSAL", "PROP_PALLAS", "VAL_METRICS", "CONTRACT",
@@ -239,7 +249,8 @@ _KEY_TO_FIELD = {
     "GRID_LEVELS": "grid_levels",
     "GRID_COMP_DENSITY": "grid_comp_density", "GRID_COMP_APP": "grid_comp_app",
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
-    "GRID_LR_MULT": "grid_lr_mult", "GRID_TV": "grid_tv",
+    "GRID_LR_MULT": "grid_lr_mult", "GRID_LEVEL_LR": "grid_level_lr",
+    "GRID_TV": "grid_tv",
     "GRID_LOOKUP": "grid_lookup", "GRID_PALLAS": "grid_pallas",
     "GRID_HYBRID": "grid_hybrid", "GRID_SIGMA_WIDTH": "grid_sigma_width",
     "GRID_UPSAMPLE": "grid_upsample", "DIST_LOSS": "dist_loss",

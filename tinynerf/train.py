@@ -293,17 +293,25 @@ def make_lr_scale(cfg: Config, params: Any):
     """Per-leaf LR-multiplier pytree for optim.adam_update, or None.
 
     Only the grid field uses it: factorized line tables want ~10-40x the
-    decoder/MLP learning rate (TensoRF-style split). Every other leaf —
+    decoder/MLP learning rate (TensoRF-style split). Pyramid tables
+    (GRID_LEVELS>1) additionally scale by ``grid_level_lr**level`` —
+    level l's key inside ``lines`` is ``{x,y,z}{l}`` — so coarse levels
+    can train hotter (>1, to offset their zero init) or cooler (<1, to
+    damp their wide-support late-schedule gradients). Every other leaf —
     decoder, proposal net — stays at 1x, and non-grid configs return None
     so the default path keeps single-LR torch-exact semantics."""
     uses_grid = (cfg.fine_field == "grid"
                  or (cfg.proposal and cfg.prop_field == "grid"))
-    if not uses_grid or cfg.grid_lr_mult == 1.0:
+    if not uses_grid or (cfg.grid_lr_mult == 1.0 and cfg.grid_level_lr == 1.0):
         return None
 
     def scale(path, _leaf):
-        keys = {getattr(p, "key", None) for p in path}
-        return cfg.grid_lr_mult if "lines" in keys else 1.0
+        keys = [str(getattr(p, "key", "")) for p in path]
+        if "lines" not in keys:
+            return 1.0
+        name = keys[keys.index("lines") + 1]
+        level = int(name[1:]) if len(name) > 1 and name[1:].isdigit() else 0
+        return cfg.grid_lr_mult * cfg.grid_level_lr ** level
 
     return jax.tree_util.tree_map_with_path(scale, params)
 

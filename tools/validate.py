@@ -19,6 +19,9 @@ Families (--family):
              with --scene-format 360 (outward ring capture)
   u360_nowarp / u360_bigbox
              warp ablation / naive-huge-box baselines for u360
+  llff_hybrid / llff_full
+             forward-facing (fern-style) path: flagship / MLP-fine stack
+             on the LLFF capture — pair with --scene-format llff
 
 Usage:
     python tools/validate.py --out /tmp/val --iters 20000
@@ -105,6 +108,19 @@ FAMILY["u360_occ"] = (FAMILY["u360"]
 FAMILY["u360_nowarp"] = _U360_BASE + "GRID_EXTENT = 2.0\n"
 FAMILY["u360_bigbox"] = _U360_BASE + "GRID_EXTENT = 80.0\n"
 
+# --- forward-facing (fern-style) protocol: pair with --scene-format llff.
+# The reference's second headline scene is LLFF fern (conf/fern.ini):
+# poses_bounds.npy ingest, per-ray near/far, raw-unit marching, identical
+# train/val/test splits (Q10 — test PSNR is training-view PSNR, exactly
+# the reference's evidence regime). llff_hybrid runs the flagship family
+# on that path; llff_full is the MLP-fine stack control (round 1 only
+# ever measured the plain MLP at 80x80/4k). The generated capture's
+# spheres sit inside r~1.4, so the sync families' extent-1.5 grids and
+# occ box carry over unchanged; WHITE_BKGD matches the white-composited
+# LLFF pngs.
+FAMILY["llff_hybrid"] = FAMILY["hybrid"] + "DATA_TYPE = llff\n"
+FAMILY["llff_full"] = FAMILY["full"] + "DATA_TYPE = llff\n"
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
@@ -122,10 +138,11 @@ def main() -> None:
     parser.add_argument("--extra", action="append", default=[],
                         metavar="KEY=VALUE", help="extra INI keys (repeat)")
     parser.add_argument("--scene-format", default="sync",
-                        choices=["sync", "360"],
+                        choices=["sync", "360", "llff"],
                         help="capture generator: inward spheres (protocol "
-                             "default) or the outward unbounded-360 ring "
-                             "(use with the u360* families)")
+                             "default), the outward unbounded-360 ring "
+                             "(u360* families), or the forward-facing LLFF "
+                             "layout (llff_* families)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (smoke runs only — "
                              "protocol numbers are TPU)")
