@@ -457,6 +457,66 @@ def test_levels_tv_and_lr_scale_cover_pyramid():
     assert float(gridfield.tv_loss(bumped)) > tv0
 
 
+def test_level_fold_matches_per_level_interp_on_nested_lattices():
+    """GRID_LEVEL_FOLD (upsample-then-sum, one hat matmul) represents the
+    exact same piecewise-linear function as interpolate-per-level when the
+    lattices nest: res 17 -> level res ((17-1)>>1)+1 = 9, 16 % 8 == 0."""
+    p = gridfield.init_grid_field(jax.random.PRNGKey(20), res=17,
+                                  n_density=2, n_app=2, decoder_width=8,
+                                  extent=1.0, levels=2)
+    assert p["lines"]["x1"].shape[0] == 9
+    lines = dict(p["lines"])
+    for name in ("x1", "y1", "z1"):   # real content, not the zero init
+        lines[name] = 0.5 * jax.random.normal(jax.random.PRNGKey(21),
+                                              lines[name].shape, jnp.float32)
+    pts = jax.random.uniform(jax.random.PRNGKey(22), (64, 3), jnp.float32,
+                             -1.2, 1.2)
+    for a in range(3):
+        f_sum = gridfield._line_features(lines, pts, p["extent"], "onehot",
+                                         jnp.float32)[a]
+        f_fold = gridfield._line_features(lines, pts, p["extent"], "onehot",
+                                          jnp.float32, fold=True)[a]
+        np.testing.assert_allclose(np.asarray(f_fold), np.asarray(f_sum),
+                                   rtol=2e-5, atol=2e-6)
+    # and gradients still reach the level tables through the fold
+    def loss(ls):
+        dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (64, 1))
+        params = dict(p, lines=ls)
+        color, sigma = gridfield.apply_grid_field(params, pts, dirs,
+                                                  n_density=2, fold=True)
+        return jnp.sum(sigma) + sum(jnp.sum(c) for c in color)
+    g = jax.grad(loss)(lines)
+    for name in ("x", "x1", "y1", "z1"):
+        assert float(jnp.abs(g[name]).max()) > 0.0, name
+
+
+def test_level_fold_zero_init_bit_equal_and_train_step(setup):
+    """Zero-init levels fold to table + 0: a folded levels=L field starts
+    bit-equal to levels=1, and the flagship-shaped train step runs with
+    GRID_LEVEL_FOLD on."""
+    kw = dict(res=32, n_density=4, n_app=4, decoder_width=8, extent=2.0)
+    p1 = gridfield.init_grid_field(jax.random.PRNGKey(7), levels=1, **kw)
+    p2 = gridfield.init_grid_field(jax.random.PRNGKey(7), levels=2, **kw)
+    pts = jax.random.uniform(jax.random.PRNGKey(8), (32, 3), jnp.float32,
+                             -2.5, 2.5)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (32, 1))
+    c1, s1 = gridfield.apply_grid_field(p1, pts, dirs, n_density=4)
+    c2, s2 = gridfield.apply_grid_field(p2, pts, dirs, n_density=4, fold=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    table, k_inv = setup
+    cfg = _cfg(grid_levels=2, grid_hybrid=True, grid_level_fold=True)
+    step = trainlib.make_train_step(cfg, table, k_inv)
+    state = trainlib.init_state(cfg)
+    losses = []
+    for _ in range(8):
+        state, m = step(state)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_level_lr_scales_per_level():
     """GRID_LEVEL_LR routes a geometric per-level factor onto pyramid
     tables only: level l trains at grid_lr_mult * level_lr**l."""

@@ -140,6 +140,17 @@ class Config:
                                       # 20 measured best on the 20k-iter
                                       # validation sweep: 27.1 dB vs 24.6
                                       # at 40 and 26.1 at 10, VALIDATION.md)
+    grid_level_fold: bool = False     # evaluate pyramid levels by
+                                      # upsampling them onto the level-0
+                                      # lattice and summing into the table
+                                      # BEFORE the (single) hat-matmul
+                                      # interpolation — a ~6 MFLOP fold
+                                      # replacing +50%/level of the ~32
+                                      # GFLOP per-batch interpolation work.
+                                      # Exactly the same function when
+                                      # lattices nest ((R0-1)%(Rl-1)==0,
+                                      # e.g. 385+193); a slight double-
+                                      # interp smoothing otherwise.
     grid_level_lr: float = 1.0        # per-level LR factor on pyramid
                                       # tables (GRID_LEVELS>1): level l
                                       # trains at grid_lr_mult *
@@ -219,7 +230,8 @@ _FLOAT_KEYS = {"LEARNING", "LR_GAMMA", "OCC_EXTENT", "OCC_THRESH",
 _BOOL_KEYS = {"CONTINUE", "USE_PALLAS", "COMPAT_SORT", "STRATIFIED", "NDC",
               "HOST_FEED", "WHITE_BKGD", "OCC_GRID", "FUSED_RENDER",
               "PROPOSAL", "PROP_PALLAS", "VAL_METRICS", "CONTRACT",
-              "LINDISP", "GRID_HYBRID", "PROP_GRID_HYBRID"}
+              "LINDISP", "GRID_HYBRID", "PROP_GRID_HYBRID",
+              "GRID_LEVEL_FOLD"}
 _KEY_TO_FIELD = {
     "GPU": "gpu", "IMG_DIR": "img_dir", "RESULTS_PATH": "results_path",
     "CKPT_PATH": "ckpt_path", "LOW_RES": "low_res", "TOTAL_ITER": "total_iter",
@@ -250,6 +262,7 @@ _KEY_TO_FIELD = {
     "GRID_COMP_DENSITY": "grid_comp_density", "GRID_COMP_APP": "grid_comp_app",
     "GRID_DECODER_WIDTH": "grid_decoder_width", "GRID_EXTENT": "grid_extent",
     "GRID_LR_MULT": "grid_lr_mult", "GRID_LEVEL_LR": "grid_level_lr",
+    "GRID_LEVEL_FOLD": "grid_level_fold",
     "GRID_TV": "grid_tv",
     "GRID_LOOKUP": "grid_lookup", "GRID_PALLAS": "grid_pallas",
     "GRID_HYBRID": "grid_hybrid", "GRID_SIGMA_WIDTH": "grid_sigma_width",

@@ -98,7 +98,12 @@ def init_grid_field(key: jax.Array, res: int = RES,
     lines = {ax: init_scale * jax.random.normal(k, (res, n_comp), jnp.float32)
              for ax, k in zip(AXES, (kx, ky, kz))}
     for lvl in range(1, levels):
-        res_l = max(2, res >> lvl)
+        # halve INTERVALS, not nodes: ((res-1) >> lvl) + 1 equals res >> lvl
+        # for even res (every measured config unchanged) but makes odd
+        # resolutions nest exactly — 385 -> 193 -> 97 has (R0-1) divisible
+        # by (Rl-1), the condition under which GRID_LEVEL_FOLD represents
+        # the identical piecewise-linear function
+        res_l = max(2, ((res - 1) >> lvl) + 1)
         for ax in AXES:
             lines[f"{ax}{lvl}"] = jnp.zeros((res_l, n_comp), jnp.float32)
     sigma_width = sigma_width or decoder_width
@@ -139,14 +144,26 @@ def _hat_basis(xg: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
 
 def _line_features(lines: Dict[str, jnp.ndarray], points: jnp.ndarray,
                    extent: jnp.ndarray, lookup: str,
-                   compute_dtype) -> Tuple[jnp.ndarray, ...]:
+                   compute_dtype, fold: bool = False) -> Tuple[jnp.ndarray, ...]:
     """Interpolate each axis's line table at the points' coordinates.
 
     points (..., 3) -> tuple of 3 arrays (..., F). Coordinates clamp to the
     grid boundary (points outside [-extent, extent] read the edge value).
 
     Pyramid tables (``lines["x1"]`` etc., GRID_LEVELS) interpolate at their
-    own resolution and sum into the axis features."""
+    own resolution and sum into the axis features. With ``fold=True``
+    (GRID_LEVEL_FOLD) they are instead linearly upsampled onto the level-0
+    lattice and SUMMED INTO THE TABLE before a single interpolation — an
+    O(R0·Rl·F) matmul per axis per step (~6 MFLOP, invisible next to the
+    ~32 GFLOP per-batch hat matmul it replaces), so a folded pyramid costs
+    the same per sample as levels=1 instead of +sum(Rl)/R0 extra hat-matmul
+    work. When the lattices nest (``(R0-1) % (Rl-1) == 0``) upsample-then-
+    interpolate represents the exact same piecewise-linear function as
+    interpolate-per-level (linear segments pass through interior fine
+    nodes), and gradients reach the level tables through the upsample
+    operator's transpose — the same linear map, so training dynamics match
+    the unfolded path. Non-nested lattices (e.g. 384+192) differ by a
+    double-interpolation smoothing; measure before swapping."""
     # extent is frozen geometry riding the param tree: without the detach,
     # grad would flow extent->xg->hat basis and force a per-axis
     # dU = dF @ table^T matmul that exists only to differentiate a constant
@@ -175,6 +192,18 @@ def _line_features(lines: Dict[str, jnp.ndarray], points: jnp.ndarray,
 
     feats = []
     for a, ax in enumerate(AXES):
+        if fold:
+            table = lines[ax]
+            res0 = table.shape[0]
+            lvl = 1
+            while f"{ax}{lvl}" in lines:
+                tl = lines[f"{ax}{lvl}"]
+                up = upsample_matrix(tl.shape[0], res0)
+                table = table + jnp.matmul(up, tl,
+                                           precision=jax.lax.Precision.HIGHEST)
+                lvl += 1
+            feats.append(interp(table, t01[..., a]))
+            continue
         f = interp(lines[ax], t01[..., a])
         lvl = 1
         while f"{ax}{lvl}" in lines:
@@ -188,6 +217,7 @@ def apply_grid_field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray,
                      n_density: int = N_COMP_DENSITY,
                      lookup: str = "onehot",
                      compute_dtype=jnp.float32,
+                     fold: bool = False,
                      ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """FieldFn body: (..., 3) points/dirs -> (color channels x3, sigma (..., 1)).
 
@@ -198,7 +228,7 @@ def apply_grid_field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray,
     the tiny density MLP instead and its hidden features join the color
     input (see init_grid_field)."""
     fx, fy, fz = _line_features(params["lines"], points, params["extent"],
-                                lookup, compute_dtype)
+                                lookup, compute_dtype, fold=fold)
     prod = fx * fy * fz                                   # (..., Fd+Fa)
     app = prod[..., n_density:]
     de = encoding.encode_dirs(dirs).astype(compute_dtype)
@@ -218,13 +248,13 @@ def apply_grid_field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray,
 
 
 def make_field_grid(n_density: int = N_COMP_DENSITY, lookup: str = "onehot",
-                    compute_dtype=None):
+                    compute_dtype=None, fold: bool = False):
     """FieldFn factory (same contract as ``render.field_jnp``)."""
     dtype = jnp.float32 if compute_dtype is None else compute_dtype
 
     def field(params: Params, points: jnp.ndarray, dirs: jnp.ndarray):
         return apply_grid_field(params, points, dirs, n_density=n_density,
-                                lookup=lookup, compute_dtype=dtype)
+                                lookup=lookup, compute_dtype=dtype, fold=fold)
 
     return field
 

@@ -140,7 +140,8 @@ def _make_field_fn_inner(cfg: Config, force_pallas: bool) -> render.FieldFn:
         from tinynerf.core.gridfield import make_field_grid
         dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
         fn = make_field_grid(n_density=cfg.grid_comp_density,
-                             lookup=cfg.grid_lookup, compute_dtype=dtype)
+                             lookup=cfg.grid_lookup, compute_dtype=dtype,
+                             fold=cfg.grid_level_fold)
         if cfg.grid_pallas and (force_pallas
                                 or jax.default_backend() == "tpu"):
             if cfg.grid_hybrid:
