@@ -63,7 +63,12 @@ def main() -> None:
         # pair, hybrid sigma nets on both grids, per-leaf GRID_LR_MULT
         # Adam scaling, and the held-out VAL_METRICS series — everything
         # VERDICT r3 #5/#6 wants proven across a real process boundary
-        extra = dict(fine_field="grid", grid_hybrid=True, grid_res=16,
+        extra = dict(fine_field="grid", grid_hybrid=True, grid_res=17,
+                     # multi-resolution pyramid with a non-unit per-level LR:
+                     # the GRID_LEVEL_LR Adam scaling must survive the psum +
+                     # replicated-placement path exactly like GRID_LR_MULT
+                     # (res 17 so the 17+9 lattices nest)
+                     grid_levels=2, grid_level_lr=0.5,
                      grid_comp_density=4, grid_comp_app=4,
                      grid_decoder_width=8, grid_extent=6.0,
                      proposal=True, prop_field="grid", prop_grid_hybrid=True,

@@ -385,3 +385,105 @@ def test_runner_360_with_contracted_occ(tmp_path):
     assert np.isfinite(np.asarray(runner.state.occ.raw)).any()
     psnr = runner.display(max_views=1)
     assert np.isfinite(psnr)
+
+
+def test_march_res_onehot_matches_gather_at_full_res():
+    """OCC_MARCH_RES == OCC_RES: the one-hot equality matmul is the exact
+    same lookup as the gather, so the tightened bounds are identical."""
+    grid = occupancy.init_grid(resolution=16, half_extent=1.0)
+    grid = occupancy.update_grid(grid, None, _sphere_field(),
+                                 jax.random.PRNGKey(0), ema=0.0)
+    rng = np.random.default_rng(11)
+    n = 64
+    origins = jnp.asarray(rng.uniform(-0.2, 0.2, (n, 3))
+                          + np.array([0, 0, 4.0]), jnp.float32)
+    d = -rng.normal(0, 0.1, (n, 3)) + np.array([0, 0, -1.0])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+    near, far = jnp.full((n,), 2.0), jnp.full((n,), 6.0)
+    n0, f0 = occupancy.tighten_bounds(grid, origins, dirs, near, far)
+    n1, f1 = occupancy.tighten_bounds(grid, origins, dirs, near, far,
+                                      march_res=16)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_march_res_pooled_is_conservative_and_tightens():
+    """Pooled march (M < R): every pooled bound CONTAINS the full-res bound
+    (max-pooled occupancy is a superset), misses still collapse, and the
+    hit rays still tighten meaningfully."""
+    grid = occupancy.init_grid(resolution=32, half_extent=1.0)
+    for i in range(4):
+        grid = occupancy.update_grid(grid, None, _sphere_field(),
+                                     jax.random.PRNGKey(i), ema=0.5)
+    rng = np.random.default_rng(5)
+    n = 128
+    origins = jnp.asarray(rng.uniform(-1.0, 1.0, (n, 3))
+                          + np.array([0, 0, 4.0]), jnp.float32)
+    d = rng.normal(0, 0.15, (n, 3)) + np.array([0, 0, -1.0])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+    near, far = jnp.full((n,), 2.0), jnp.full((n,), 6.0)
+    n_full, f_full = occupancy.tighten_bounds(grid, origins, dirs, near, far)
+    for m in (16, 8):
+        n_p, f_p = occupancy.tighten_bounds(grid, origins, dirs, near, far,
+                                            march_res=m)
+        hit_full = np.asarray(f_full - n_full) > 1e-2
+        hit_p = np.asarray(f_p - n_p) > 1e-2
+        # superset: every full-res hit is a pooled hit, with wider bounds
+        assert (hit_p | ~hit_full).all()
+        both = hit_full & hit_p
+        assert (np.asarray(n_p)[both] <= np.asarray(n_full)[both] + 1e-5).all()
+        assert (np.asarray(f_p)[both] >= np.asarray(f_full)[both] - 1e-5).all()
+        # still tightens: center rays don't keep the whole [2, 6] span
+        assert (np.asarray(f_p - n_p)[both] < 3.9).any()
+    with pytest.raises(ValueError):
+        occupancy.tighten_bounds(grid, origins, dirs, near, far, march_res=10)
+
+
+def test_contracted_pooled_march_never_excludes_surface():
+    """The pooled one-hot march under CONTRACT+LINDISP keeps the
+    never-excludes-surface guarantee (probe counts derived for the FINE
+    grid stay valid: pooling only grows occupied regions)."""
+    spheres = [((5.0, 0.0, 0.0), 2.0), ((-2.5, 0.5, 0.0), 0.8),
+               ((0.0, 0.0, -6.0), 2.5), ((12.0, 2.0, 12.0), 10.0)]
+
+    def world_field(params, points, dirs):
+        s = jnp.zeros(points.shape[:-1] + (1,))
+        for c, r in spheres:
+            dist = jnp.linalg.norm(points - jnp.asarray(c), axis=-1,
+                                   keepdims=True)
+            s = jnp.maximum(s, jnp.where(dist < r, 5.0, 0.0))
+        return jnp.ones(points.shape[:-1] + (3,)), s
+
+    wrapped = _wrap_world_field(world_field)
+    grid = occupancy.init_grid(resolution=32, half_extent=2.0)
+    for i in range(8):
+        grid = occupancy.update_grid(grid, None, wrapped,
+                                     jax.random.PRNGKey(i), ema=0.5,
+                                     contract=True)
+    rng = np.random.default_rng(7)
+    n = 256
+    origins = jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+    near, far = jnp.full((n,), 1.0), jnp.full((n,), 80.0)
+    n_steps = occupancy.derive_march_steps_contracted(32, 1.0, 80.0)
+    nn, nf = occupancy.tighten_bounds(grid, origins, dirs, near, far,
+                                      n_steps=n_steps, contract=True,
+                                      lindisp=True, march_res=16)
+    nn, nf = np.asarray(nn), np.asarray(nf)
+    o = np.asarray(origins)
+    for ci, r in spheres:
+        oc = o - np.asarray(ci)
+        b = np.sum(oc * d, axis=1)
+        disc = b * b - (np.sum(oc * oc, axis=1) - r * r)
+        hit = disc > 0
+        t0 = -b - np.sqrt(np.maximum(disc, 0))
+        t1 = -b + np.sqrt(np.maximum(disc, 0))
+        valid = hit & (t0 > 1.0) & (t0 < 80.0)
+        assert (nn[valid] <= t0[valid] + 1e-3).all(), "entry excluded"
+        assert (nf[valid] >= np.minimum(t1[valid], 80.0) - 1e-3).all(), \
+            "exit excluded"
+    assert (nf - nn < 79.0).any()

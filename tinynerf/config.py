@@ -115,6 +115,15 @@ class Config:
                                       # None = derived at Runner setup from
                                       # the scene's ray span so probes cannot
                                       # out-stride the 3-cell dilation margin
+    occ_march_res: Optional[int] = None  # march-lookup resolution: max-pool
+                                      # the dilated grid to M^3 and probe it
+                                      # via a one-hot equality MATMUL
+                                      # instead of the (B, S) gather —
+                                      # strictly conservative (pooled
+                                      # occupancy is a superset), trades a
+                                      # little tightening for MXU-shaped
+                                      # lookup cost. Must divide OCC_RES.
+                                      # None = full-res gather path.
     fine_field: str = "mlp"           # "mlp" (reference net) | "grid"
                                       # (factorized CP feature grid,
                                       # core/gridfield.py — second model
@@ -218,7 +227,8 @@ class Config:
 _INT_KEYS = {"GPU", "LOW_RES", "TOTAL_ITER", "EPOCH", "BATCH_RAY", "N_COARSE",
              "N_FINE", "STEP", "DECAY_END", "SEED", "RENDER_CHUNK",
              "PROFILE_STEPS", "OCC_RES", "OCC_UPDATE_EVERY",
-             "OCC_MARCH_STEPS", "PROPOSAL_WIDTH", "PROPOSAL_DEPTH",
+             "OCC_MARCH_STEPS", "OCC_MARCH_RES",
+             "PROPOSAL_WIDTH", "PROPOSAL_DEPTH",
              "PROPOSAL_ENC_L", "SAMPLE_SHARD", "GRID_RES", "GRID_LEVELS",
              "GRID_COMP_DENSITY", "GRID_COMP_APP", "GRID_DECODER_WIDTH",
              "PROP_GRID_RES", "PROP_GRID_COMP_DENSITY",
@@ -253,6 +263,7 @@ _KEY_TO_FIELD = {
     "OCC_GRID": "occ_grid", "OCC_RES": "occ_res", "OCC_EXTENT": "occ_extent",
     "OCC_THRESH": "occ_thresh", "OCC_UPDATE_EVERY": "occ_update_every",
     "OCC_SUBSET": "occ_subset", "OCC_MARCH_STEPS": "occ_march_steps",
+    "OCC_MARCH_RES": "occ_march_res",
     "PROPOSAL": "proposal", "PROPOSAL_WIDTH": "proposal_width",
     "PROPOSAL_DEPTH": "proposal_depth", "PROPOSAL_ENC_L": "proposal_enc_l",
     "PROP_PALLAS": "prop_pallas",

@@ -169,6 +169,7 @@ def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
                    near: jnp.ndarray, far: jnp.ndarray,
                    n_steps: Optional[int] = None,
                    contract: bool = False, lindisp: bool = False,
+                   march_res: Optional[int] = None,
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-ray [near, far] -> the sub-interval covering occupied cells.
 
@@ -186,6 +187,21 @@ def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
     in-step on v5e (B=4096, 64+128 samples): the probe gather costs ~68 us
     per probe-count — 8.7 ms/step at the old ``2*res`` default vs 4.1 ms
     at 64 — so probe count is the direct knob on occ-grid overhead.
+
+    ``march_res`` (``OCC_MARCH_RES``): TPU-shaped probe lookup. The (B, S)
+    probe gather from the R^3 table is the one hot-path gather the repo's
+    no-gathers invariant still tolerated; with ``march_res=M`` set, the
+    dilated grid is max-pooled to M^3 (requires R % M == 0), BOOLEANIZED,
+    and each probe reads it through a one-hot equality MATMUL over the M^3
+    columns — MXU work instead of serialized addressing, the same
+    compare+matmul move as the hat-basis field lookup. Max-pooled occupancy
+    is a SUPERSET of the fine grid's (any occupied fine cell occupies its
+    coarse cell), so every bound this march produces contains the bound the
+    full-res gather would produce: pooling can only weaken the tightening,
+    never exclude a surface — margins and probe counts derived for the fine
+    grid stay valid unchanged. (Booleanize BEFORE the matmul: never-probed
+    cells hold inf, and IEEE ``0 * inf = nan`` would poison a one-hot dot
+    against the raw table.)
     """
     res = grid.density.shape[0]
     if n_steps is None:
@@ -207,11 +223,35 @@ def tighten_bounds(grid: OccGrid, origins: jnp.ndarray, dirs: jnp.ndarray,
         from tinynerf.core.contract import contract_mip360
         pts = contract_mip360(pts)
 
-    idx = jnp.floor((pts / grid.half_extent * 0.5 + 0.5) * res).astype(jnp.int32)
-    inside = jnp.all((idx >= 0) & (idx < res), axis=-1)
-    idx = jnp.clip(idx, 0, res - 1)
-    flat = (idx[..., 0] * res + idx[..., 1]) * res + idx[..., 2]
-    occ = grid.density.reshape(-1)[flat] > grid.threshold
+    if march_res is not None and march_res != res:
+        if res % march_res != 0:
+            raise ValueError(f"OCC_MARCH_RES {march_res} must divide the "
+                             f"grid resolution {res}")
+        f = res // march_res
+        lookup_grid = jax.lax.reduce_window(
+            grid.density, -jnp.inf, jax.lax.max, (f, f, f), (f, f, f),
+            "VALID")
+        lres = march_res
+    else:
+        lookup_grid = grid.density
+        lres = res
+
+    idx = jnp.floor((pts / grid.half_extent * 0.5 + 0.5) * lres).astype(
+        jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < lres), axis=-1)
+    idx = jnp.clip(idx, 0, lres - 1)
+    flat = (idx[..., 0] * lres + idx[..., 1]) * lres + idx[..., 2]
+    if march_res is not None:
+        # one-hot equality matmul over the M^3 boolean table (see docstring)
+        occ_bin = (lookup_grid.reshape(-1) > grid.threshold).astype(
+            jnp.bfloat16)
+        onehot = (flat[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (*flat.shape, lres ** 3), flat.ndim)).astype(
+            jnp.bfloat16)
+        occ = jnp.matmul(onehot, occ_bin[:, None],
+                         precision=jax.lax.Precision.HIGHEST)[..., 0] > 0.5
+    else:
+        occ = lookup_grid.reshape(-1)[flat] > grid.threshold
     occ = occ & inside                                              # (B, S)
 
     # margin: at least one cell diagonal, so surfaces sitting right at an

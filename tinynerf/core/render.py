@@ -184,6 +184,7 @@ def render_rays(params: mlp.Params,
                 white_bkgd: bool = False,
                 occ_grid=None,
                 occ_march: Optional[int] = None,
+                occ_march_res: Optional[int] = None,
                 occ_contract: bool = False,
                 extras: bool = False,
                 prop_params=None,
@@ -280,7 +281,8 @@ def render_rays(params: mlp.Params,
         # spacing uniform
         near, far = tighten_bounds(occ_grid, origins, dirs, near, far,
                                    n_steps=occ_march,
-                                   contract=occ_contract, lindisp=lindisp)
+                                   contract=occ_contract, lindisp=lindisp,
+                                   march_res=occ_march_res)
     if ndc_params is not None:
         ndc_h, ndc_w, ndc_f = ndc_params
         origins, dirs = raylib.ndc_rays(ndc_h, ndc_w, ndc_f, 1.0,

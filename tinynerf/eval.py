@@ -73,6 +73,7 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
                 ndc_params=ndc_params,
                 merge_impl="twolist", white_bkgd=cfg.white_bkgd,
                 occ_grid=occ_grid, occ_march=cfg.occ_march_steps,
+                occ_march_res=cfg.occ_march_res,
                 occ_contract=cfg.contract, lindisp=cfg.lindisp)
             return c_fine.reshape(height, width, 3)
 
@@ -125,6 +126,7 @@ def make_frame_fn(cfg: Config, k_inv: jnp.ndarray, height: int, width: int,
             ndc_params=ndc_params, merge_impl="twolist",
             white_bkgd=cfg.white_bkgd, occ_grid=occ_grid,
             occ_march=cfg.occ_march_steps, extras=extras,
+            occ_march_res=cfg.occ_march_res,
             occ_contract=cfg.contract,
             prop_params=prop_params(cfg, params),
             prop_field_fn=prop_fn, lindisp=cfg.lindisp)

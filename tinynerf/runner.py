@@ -214,6 +214,7 @@ class Runner:
                     ndc_params=self.ndc_params, merge_impl="twolist",
                     white_bkgd=cfg.white_bkgd, occ_grid=occ,
                     occ_march=cfg.occ_march_steps,
+                    occ_march_res=cfg.occ_march_res,
                     occ_contract=cfg.contract,
                     prop_params=trainlib.prop_params(cfg, params),
                     prop_field_fn=prop_fn, lindisp=cfg.lindisp)

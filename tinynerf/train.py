@@ -342,6 +342,7 @@ def make_loss_fn(cfg: Config, k_inv: jnp.ndarray,
             compat_sort=cfg.compat_sort, ndc_params=ndc_params,
             white_bkgd=cfg.white_bkgd, occ_grid=occ,
             occ_march=cfg.occ_march_steps, occ_contract=cfg.contract,
+            occ_march_res=cfg.occ_march_res,
             prop_params=prop_params(cfg, params), prop_field_fn=prop_fn,
             want_dist=want_dist, want_interlevel=want_il,
             lindisp=cfg.lindisp)

@@ -92,6 +92,191 @@ def render_view(c2w: np.ndarray, hw: int) -> np.ndarray:
     return (np.clip(rgba, 0, 1).reshape(hw, hw, 4) * 255).astype(np.uint8)
 
 
+# --- high-frequency "texture" scene family (scene family #2) -------------
+# Same capture protocol as the lambertian-spheres scene (inward orbit at
+# RADIUS=4, CAMERA_ANGLE_X=0.7, content inside |p| < 1.5 so the sync
+# ingest's near/far 2/6 box and the presets' GRID_EXTENT=1.5 carry over
+# unchanged) but with the content classes the flat-albedo scene lacks —
+# the ones the reference's real scenes (lego's texture, fern's foliage)
+# stress: checkered/striped albedo (high spatial frequency), a glossy
+# strongly view-dependent specular term, thin rods, and a checkered
+# ground disk seen at grazing angles. Exists to re-test every frontier
+# closed on the low-frequency scene (VERDICT r4 #2).
+
+_CHECK_A = np.array([0.92, 0.16, 0.12])
+_CHECK_B = np.array([0.95, 0.92, 0.85])
+_STRIPE_A = np.array([0.15, 0.35, 0.9])
+_STRIPE_B = np.array([0.95, 0.85, 0.2])
+_GROUND_A = np.array([0.12, 0.12, 0.14])
+_GROUND_B = np.array([0.85, 0.85, 0.8])
+_ROD_A = np.array([0.9, 0.2, 0.85])
+_ROD_B = np.array([0.95, 0.95, 0.95])
+
+_RODS = [
+    # (endpoint A, endpoint B, radius) — thin structures, all inside r<1.45
+    (np.array([-1.1, -0.9, -0.55]), np.array([0.95, 0.85, 0.3]), 0.025),
+    (np.array([-0.85, 0.9, -0.55]), np.array([0.8, -0.8, 0.6]), 0.03),
+    (np.array([0.3, -1.05, 0.85]), np.array([0.35, 0.95, 0.8]), 0.025),
+]
+_DISK_Y, _DISK_R = -1.0, 1.05
+
+
+def ray_cylinder(origin, dirs, a, b, radius):
+    """First-hit distances on a finite (uncapped) cylinder from a to b.
+
+    Solves the quadratic of the ray against the infinite cylinder around
+    axis (b-a), then rejects hits whose axial coordinate falls outside the
+    segment. Returns (t, hit_points_normal_fn inputs) as (t, axis unit)."""
+    axis = b - a
+    length = np.linalg.norm(axis)
+    axis = axis / length
+    oc = origin - a
+    d_perp = dirs - np.outer(dirs @ axis, axis)
+    oc_perp = oc - (oc @ axis) * axis
+    A = np.sum(d_perp * d_perp, axis=1)
+    B = d_perp @ oc_perp
+    C = oc_perp @ oc_perp - radius * radius
+    disc = B * B - A * C
+    ok = (disc > 0) & (A > 1e-12)
+    sqrt_d = np.sqrt(np.maximum(disc, 0.0))
+    t = np.where(ok, (-B - sqrt_d) / np.maximum(A, 1e-12), np.inf)
+    s = oc @ axis + t * (dirs @ axis)          # axial coordinate of the hit
+    t = np.where(ok & (t > 1e-3) & (s >= 0.0) & (s <= length), t, np.inf)
+    return t, axis, length
+
+
+def render_view_texture(c2w: np.ndarray, hw: int) -> np.ndarray:
+    """(hw, hw, 4) uint8 RGBA of the high-frequency scene (transparent
+    background, like the Blender exports the loader composites to white).
+
+    Shading = ambient + lambert + per-object Blinn-Phong specular (the
+    specular lobe moves with the camera — genuinely view-dependent GT)."""
+    focal = 0.5 * hw / np.tan(0.5 * CAMERA_ANGLE_X)
+    rr, cc = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    x_c = rr.reshape(-1) - 0.5 * hw
+    y_c = -cc.reshape(-1) + 0.5 * hw
+    z_c = np.full_like(x_c, -focal, dtype=np.float64)
+    d_cam = np.stack([x_c, y_c, z_c], axis=1)
+    d_cam /= np.linalg.norm(d_cam, axis=1, keepdims=True)
+    d_world = d_cam @ c2w[:3, :3].T
+    origin = c2w[:3, 3]
+
+    best_t = np.full(hw * hw, np.inf)
+    color = np.zeros((hw * hw, 3))
+
+    def shade(mask, t, normals, albedo, spec=0.0, shin=32.0):
+        nonlocal best_t, color
+        if not mask.any():
+            return
+        lambert = np.clip(normals @ LIGHT_DIR, 0.0, 1.0)
+        out = albedo * (0.25 + 0.75 * lambert[:, None])
+        if spec > 0.0:
+            view = -d_world[mask]
+            half = LIGHT_DIR + view
+            half /= np.linalg.norm(half, axis=1, keepdims=True)
+            hl = np.clip(np.sum(normals * half, axis=1), 0.0, 1.0) ** shin
+            out = out + spec * hl[:, None]
+        color[mask] = np.clip(out, 0.0, 1.0)
+        best_t = np.where(mask, t, best_t)
+
+    # 1. big checkered sphere: 16 longitude x 8 latitude checks
+    center, radius = np.array([0.0, 0.05, 0.0]), 0.9
+    t = ray_sphere(origin, d_world, center, radius)
+    closer = t < best_t
+    if closer.any():
+        pts = origin + t[closer, None] * d_world[closer]
+        n = (pts - center) / radius
+        phi = np.arctan2(n[:, 2], n[:, 0])
+        theta = np.arccos(np.clip(n[:, 1], -1, 1))
+        check = ((np.floor(phi / (2 * np.pi) * 16)
+                  + np.floor(theta / np.pi * 8)) % 2).astype(bool)
+        alb = np.where(check[:, None], _CHECK_A, _CHECK_B)
+        shade(closer, t, n, alb, spec=0.15, shin=16.0)
+
+    # 2. finely striped sphere (24 longitude stripes)
+    center, radius = np.array([0.85, 0.55, -0.35]), 0.42
+    t = ray_sphere(origin, d_world, center, radius)
+    closer = t < best_t
+    if closer.any():
+        pts = origin + t[closer, None] * d_world[closer]
+        n = (pts - center) / radius
+        phi = np.arctan2(n[:, 2], n[:, 0])
+        stripe = (np.sin(12.0 * phi) > 0.0)
+        alb = np.where(stripe[:, None], _STRIPE_A, _STRIPE_B)
+        shade(closer, t, n, alb, spec=0.3, shin=24.0)
+
+    # 3. glossy sphere: dark albedo + strong tight specular highlight
+    center, radius = np.array([-0.75, -0.45, 0.45]), 0.48
+    t = ray_sphere(origin, d_world, center, radius)
+    closer = t < best_t
+    if closer.any():
+        pts = origin + t[closer, None] * d_world[closer]
+        n = (pts - center) / radius
+        shade(closer, t, n, np.array([0.08, 0.32, 0.14]), spec=0.9, shin=80.0)
+
+    # 4. thin striped rods
+    for a, b, radius in _RODS:
+        t, axis, length = ray_cylinder(origin, d_world, a, b, radius)
+        closer = t < best_t
+        if not closer.any():
+            continue
+        pts = origin + t[closer, None] * d_world[closer]
+        s = (pts - a) @ axis
+        n = pts - a - s[:, None] * axis
+        n /= np.linalg.norm(n, axis=1, keepdims=True)
+        stripe = (np.sin(s / length * 30.0 * np.pi) > 0.0)
+        alb = np.where(stripe[:, None], _ROD_A, _ROD_B)
+        shade(closer, t, n, alb, spec=0.2, shin=32.0)
+
+    # 5. checkered ground disk (grazing-angle high frequency)
+    denom = d_world[:, 1]
+    t = np.where(np.abs(denom) > 1e-9,
+                 (_DISK_Y - origin[1]) / np.where(np.abs(denom) > 1e-9,
+                                                  denom, 1.0), np.inf)
+    pts = origin[None, :] + t[:, None] * d_world
+    in_disk = (t > 1e-3) & (pts[:, 0] ** 2 + pts[:, 2] ** 2 < _DISK_R ** 2)
+    t = np.where(in_disk, t, np.inf)
+    closer = t < best_t
+    if closer.any():
+        p = pts[closer]
+        check = ((np.floor(p[:, 0] / 0.18)
+                  + np.floor(p[:, 2] / 0.18)) % 2).astype(bool)
+        alb = np.where(check[:, None], _GROUND_A, _GROUND_B)
+        n = np.tile(np.array([0.0, 1.0, 0.0]), (p.shape[0], 1))
+        shade(closer, t, n, alb, spec=0.25, shin=16.0)
+
+    alpha = np.isfinite(best_t).astype(np.float64)
+    rgba = np.concatenate([color, alpha[:, None]], axis=1)
+    return (np.clip(rgba, 0, 1).reshape(hw, hw, 4) * 255).astype(np.uint8)
+
+
+def make_texture_scene(out_dir: str, hw: int = 100, views: int = 30,
+                       val_views: int = 5, test_views: int = 5) -> None:
+    """Blender-format high-frequency scene at the standard protocol
+    (identical camera schedule to make_scene, only the content differs)."""
+    splits = {"train": views, "val": val_views, "test": test_views}
+    for mode, n in splits.items():
+        frames = []
+        img_dir = os.path.join(out_dir, mode)
+        os.makedirs(img_dir, exist_ok=True)
+        for i in range(n):
+            theta = 2 * np.pi * (i / n + (0.33 if mode == "val" else
+                                          0.71 if mode == "test" else 0.0))
+            elev = np.deg2rad(-25.0 + 10.0 * np.sin(2.1 * theta))
+            position = RADIUS * np.array([
+                np.sin(theta) * np.cos(elev), -np.sin(elev),
+                np.cos(theta) * np.cos(elev)])
+            c2w = look_at(position)
+            Image.fromarray(render_view_texture(c2w, hw), "RGBA").save(
+                os.path.join(img_dir, f"r_{i}.png"))
+            frames.append({"file_path": f"./{mode}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{mode}.json"), "w") as f:
+            json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
+    print(f"wrote {sum(splits.values())} texture views at {hw}x{hw} "
+          f"-> {out_dir}")
+
+
 def make_llff_scene(out_dir: str, hw: int = 100, views: int = 20) -> None:
     """Forward-facing variant in the LLFF on-disk layout: ``images/`` +
     ``poses_bounds.npy`` with the [down, right, back] disk basis the loader
@@ -280,11 +465,13 @@ if __name__ == "__main__":
     parser.add_argument("--hw", type=int, default=100)
     parser.add_argument("--views", type=int, default=30)
     parser.add_argument("--format", type=str, default="sync",
-                        choices=["sync", "llff", "360"])
+                        choices=["sync", "llff", "360", "texture"])
     args = parser.parse_args()
     if args.format == "llff":
         make_llff_scene(args.out_dir, hw=args.hw, views=args.views)
     elif args.format == "360":
         make_360_scene(args.out_dir, hw=args.hw, views=args.views)
+    elif args.format == "texture":
+        make_texture_scene(args.out_dir, hw=args.hw, views=args.views)
     else:
         make_scene(args.out_dir, hw=args.hw, views=args.views)

@@ -138,11 +138,14 @@ def main() -> None:
     parser.add_argument("--extra", action="append", default=[],
                         metavar="KEY=VALUE", help="extra INI keys (repeat)")
     parser.add_argument("--scene-format", default="sync",
-                        choices=["sync", "360", "llff"],
+                        choices=["sync", "360", "llff", "texture"],
                         help="capture generator: inward spheres (protocol "
                              "default), the outward unbounded-360 ring "
-                             "(u360* families), or the forward-facing LLFF "
-                             "layout (llff_* families)")
+                             "(u360* families), the forward-facing LLFF "
+                             "layout (llff_* families), or the "
+                             "high-frequency texture/specular/thin-rod "
+                             "scene (scene family #2 — pair with the sync "
+                             "families, e.g. --scene /tmp/texture100)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (smoke runs only — "
                              "protocol numbers are TPU)")
