@@ -81,6 +81,15 @@ FAMILY["hybrid"] = (FAMILY["grid"] + "GRID_HYBRID = True\n"
                     # at ~1-2% step cost (VALIDATION.md queue 10)
                     + "GRID_RES = 384\n")
 
+# the convergence-quality preset (conf/lego_levels.ini): flagship + the
+# UNFOLDED GRID_LEVELS=2 pyramid at 384+192. The non-nested lattices are
+# load-bearing: summing two independently-interpolated piecewise-linear
+# levels yields ~576 distinct breakpoints/axis, and that effective
+# refinement is where most of the preset's converged +0.39 dB lives —
+# the folded nested variant (385+193, function-identical to its unfolded
+# form) soaks to only 40.88, flagship-level (VALIDATION.md round 5).
+FAMILY["levels"] = FAMILY["hybrid"] + "GRID_LEVELS = 2\n"
+
 # --- unbounded-360 protocol (VERDICT r3 #2): pair with --scene-format 360.
 # Hybrid-grid stack WITHOUT the occupancy grid (its bounded extent boxes
 # the origin, not this scene's unbounded content) on the outward ring
