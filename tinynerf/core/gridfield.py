@@ -86,7 +86,9 @@ def init_grid_field(key: jax.Array, res: int = RES,
     sizes its hidden layer independently (0 = decoder_width).
 
     ``levels > 1`` (``GRID_LEVELS``) builds a multi-resolution pyramid:
-    level l adds a per-axis table ``lines[f"{ax}{l}"]`` at ``res >> l``
+    level l adds a per-axis table ``lines[f"{ax}{l}"]`` at
+    ``((res-1) >> l) + 1`` (halved INTERVALS — equals ``res >> l`` for
+    even res, and nests exactly for odd res like 385 -> 193)
     whose interpolated features SUM with level 0's before the CP product.
     Extra levels are ZERO-initialized, so a levels=L field starts exactly
     equal to the levels=1 field (their gradients differ — the coarser hat
